@@ -1,0 +1,75 @@
+"""Classifier-free guidance as an eps-model wrapper.
+
+The reference interleaves CFG with the denoise loop body
+(TrainableSDPipeline.py:135,155-161): latents are duplicated, the UNet
+runs on the 2B batch, and uncond/cond halves are recombined, optionally
+with guidance rescale (arXiv 2305.08891 §3.4, diffusers
+`rescale_noise_cfg`). Here that logic is factored into a wrapper that
+turns a raw UNet apply into a guided eps-model — the sampler never sees
+CFG, which keeps both sampler passes and the discriminator's single-call
+usage (gan_sdxl.py:72-78, no CFG) on one code path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def rescale_noise_cfg(
+    noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray,
+    guidance_rescale: float,
+) -> jnp.ndarray:
+    axes = tuple(range(1, noise_cfg.ndim))
+    std_text = jnp.std(
+        noise_pred_text.astype(jnp.float32), axis=axes, keepdims=True
+    )
+    std_cfg = jnp.std(noise_cfg.astype(jnp.float32), axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg).astype(noise_cfg.dtype)
+    return (
+        guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+    )
+
+
+def make_cfg_eps_model(
+    unet_apply: Callable,
+    context: jnp.ndarray,            # (B, L, D) cond embeddings
+    null_context: Optional[jnp.ndarray],  # (B, L, D) or None -> no CFG
+    guidance_scale: float,
+    guidance_rescale: float = 0.0,
+    added_cond: Optional[Dict[str, jnp.ndarray]] = None,
+    null_added_cond: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Callable:
+    """Returns eps_model(latents, t, capture) -> (guided_eps, captured).
+
+    `unet_apply(latents, t, context, added_cond, capture)` ->
+    (eps, captured). With CFG, the UNet runs once on the [uncond; cond]
+    2B batch (reference order: TrainableSDPipeline.py:92,135,156 —
+    uncond first). Captured attention maps contain both halves; callers
+    slice the cond half `[B:]` (the reference captures cond-only by
+    splitting the call: AttrConcenTrainableSDPipeline.py:239-279).
+    """
+    do_cfg = null_context is not None and guidance_scale > 1.0
+
+    def eps_model(latents, t, capture=False):
+        B = latents.shape[0]
+        if not do_cfg:
+            return unet_apply(latents, t, context, added_cond, capture)
+        lat2 = jnp.concatenate([latents, latents], axis=0)
+        ctx2 = jnp.concatenate([null_context, context], axis=0)
+        ac2 = None
+        if added_cond is not None:
+            nac = null_added_cond if null_added_cond is not None else added_cond
+            ac2 = {
+                k: jnp.concatenate([nac[k], added_cond[k]], axis=0)
+                for k in added_cond
+            }
+        eps2, captured = unet_apply(lat2, t, ctx2, ac2, capture)
+        eps_uncond, eps_text = eps2[:B], eps2[B:]
+        eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+        if guidance_rescale > 0.0:
+            eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+        return eps, captured
+
+    return eps_model

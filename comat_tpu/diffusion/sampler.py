@@ -1,0 +1,179 @@
+"""The differentiable online-generation sampler — CoMat's hot loop,
+re-architected for XLA.
+
+Reference semantics being reproduced (TrainableSDPipeline.py:128-185
+with the trainer's hardcoded flags bp_on_trained=True, early_exit=False,
+double_laststep=False, fast_training=False, detach_gradient=True —
+training_script.py:558-566):
+
+- 50 DDPM steps; gradients flow through the UNet ONLY at the K trained
+  steps (`torch.set_grad_enabled(i in training_timesteps)` :138), whose
+  input latents are attached (:141-145);
+- the scheduler chain carries gradients from the first trained step
+  onward (:163), so the K trained UNet calls are *nested*: an early
+  trained step's gradient flows through later trained steps' inputs;
+- at non-trained steps the UNet output is a constant.
+
+TPU-first two-pass design (instead of translating grad-mode toggles):
+
+  PASS 1 (inference): one `lax.scan` over all S steps, everything
+  stop-gradient, Pallas flash attention, no residuals. Saves the guided
+  eps per step and the latent entering each step.
+
+  PASS 2 (differentiable replay): `lax.scan` over the K trained
+  segments. Each segment runs ONE remat'd differentiable UNet call at
+  its trained step (optionally with attention capture), then replays the
+  following `interval-1` scheduler steps with the saved (constant) eps
+  — pure affine arithmetic, which is exact because the DDPM step is
+  affine in (x, eps, noise) (tested in test_schedulers.py).
+
+This matches the reference's gradient structure exactly while paying
+K extra UNet forwards (~10% of the 50-step budget) instead of the ~2x
+a naively remat'd single differentiable scan would cost, and while
+keeping per-step DDPM noise identical across passes via fold_in(rng, i).
+
+The K-step schedule (training_script.py:563-566) is uniform-stride with
+a random start, so `trained_idx = start + interval*k` arrives as a
+traced (K,) array — no recompilation across steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from comat_tpu.diffusion.schedulers import (
+    SamplerCoeffs,
+    ddpm_step_from_coeffs,
+)
+
+
+class SampleResult(NamedTuple):
+    latents: jnp.ndarray          # (B, h, w, 4) final, differentiable
+    captured: Dict[str, Any]      # key -> (K, B|2B, heads, HW, L) fp32
+    eps_table: jnp.ndarray        # (S, B, h, w, 4) guided eps (constant)
+    latents_traj: jnp.ndarray     # (S, B, h, w, 4) pass-1 inputs (constant)
+
+
+def _step_noise(rng: jnp.ndarray, i: jnp.ndarray, shape, dtype):
+    return jax.random.normal(jax.random.fold_in(rng, i), shape, dtype)
+
+
+def sample_inference(
+    eps_model: Callable,
+    coeffs: SamplerCoeffs,
+    latents0: jnp.ndarray,
+    rng: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pass 1 / plain inference sampling. Entirely gradient-free.
+
+    Returns (final_latents, eps_table, latents_traj); the latter two
+    feed the differentiable replay.
+    """
+    S = coeffs.timesteps.shape[0]
+
+    def body(x, i):
+        x = jax.lax.stop_gradient(x)
+        eps, _ = eps_model(x, coeffs.timesteps[i], False)
+        eps = jax.lax.stop_gradient(eps)
+        noise = _step_noise(rng, i, x.shape, jnp.float32)
+        x_next, _ = ddpm_step_from_coeffs(coeffs, i, x, eps, noise)
+        return x_next, (x, eps)
+
+    x_final, (traj, eps_table) = jax.lax.scan(
+        body, latents0, jnp.arange(S)
+    )
+    return (
+        jax.lax.stop_gradient(x_final),
+        jax.lax.stop_gradient(eps_table),
+        jax.lax.stop_gradient(traj),
+    )
+
+
+def sample_comat(
+    eps_model: Callable,
+    coeffs: SamplerCoeffs,
+    latents0: jnp.ndarray,
+    rng: jnp.ndarray,
+    trained_idx: jnp.ndarray,     # (K,) int32 ascending, stride `interval`
+    interval: int,                # static: num_steps // K
+    capture: bool = False,
+) -> SampleResult:
+    """Full two-pass CoMat sampling. Differentiable through the K
+    trained steps only (see module docstring)."""
+    S = coeffs.timesteps.shape[0]
+    K = trained_idx.shape[0]
+
+    x_final_inf, eps_table, traj = sample_inference(
+        eps_model, coeffs, latents0, rng
+    )
+
+    # ---- pass 2: differentiable replay ----
+    unet_step = jax.checkpoint(
+        lambda x, t: eps_model(x, t, capture),
+        static_argnums=(),
+    )
+
+    def segment(x, p):
+        # differentiable UNet call at trained position p
+        eps, captured = unet_step(x, coeffs.timesteps[p])
+        noise = _step_noise(rng, p, x.shape, jnp.float32)
+        x, _ = ddpm_step_from_coeffs(coeffs, p, x, eps, noise)
+
+        # replay interval-1 scheduler steps with saved constant eps
+        def replay(xc, j):
+            pos = p + j
+            in_range = pos < S
+            safe_pos = jnp.minimum(pos, S - 1)
+            eps_c = eps_table[safe_pos]
+            noise_c = _step_noise(rng, safe_pos, xc.shape, jnp.float32)
+            x_new, _ = ddpm_step_from_coeffs(coeffs, safe_pos, xc, eps_c, noise_c)
+            return jnp.where(in_range, x_new, xc), None
+
+        if interval > 1:
+            x, _ = jax.lax.scan(replay, x, jnp.arange(1, interval))
+        return x, captured
+
+    x0_entry = traj[trained_idx[0]]
+    x_final, captured = jax.lax.scan(segment, x0_entry, trained_idx)
+    # Positions before the first trained step were consumed in pass 1
+    # (no gradient dependence — reference :133 disables grads there).
+
+    # Tail: when interval*K < S and start > 0... the segments cover
+    # [start, start+interval*K); replay any remaining positions up to
+    # S-1 with saved eps (masked — tail_max is 0 for the standard
+    # K=5/S=50 recipe and this compiles away).
+    tail_max = S - interval * K
+    if tail_max > 0:
+        def tail(xc, j):
+            pos = trained_idx[K - 1] + interval + j
+            in_range = pos < S
+            safe_pos = jnp.minimum(pos, S - 1)
+            eps_c = eps_table[safe_pos]
+            noise_c = _step_noise(rng, safe_pos, xc.shape, jnp.float32)
+            x_new, _ = ddpm_step_from_coeffs(
+                coeffs, safe_pos, xc, eps_c, noise_c
+            )
+            return jnp.where(in_range, x_new, xc), None
+
+        x_final, _ = jax.lax.scan(tail, x_final, jnp.arange(tail_max))
+
+    return SampleResult(
+        latents=x_final,
+        captured=captured,
+        eps_table=eps_table,
+        latents_traj=traj,
+    )
+
+
+def prepare_latents(
+    rng: jnp.ndarray, batch: int, height: int, width: int,
+    channels: int = 4, dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Initial noise, pre-scaled by init_noise_sigma (DDPM: 1.0)."""
+    return jax.random.normal(
+        rng, (batch, height // 8, width // 8, channels), dtype
+    )

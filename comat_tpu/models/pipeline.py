@@ -1,0 +1,357 @@
+"""Diffusion pipeline bundle: UNet + text encoder(s) + VAE + sampler.
+
+Functional equivalent of the reference's TrainableSD(XL)Pipeline +
+training_utils/pipeline.py factory. A `DiffusionPipeline` owns module
+*definitions* and static config; parameters are explicit pytrees passed
+to every method (grads flow where the caller wants them).
+
+Model-name registry mirrors the reference's `--pretrain_model_name`
+choices (training_utils/arguments.py:10, training_utils/pipeline.py:
+42-82): sd_1_5, sd_1_5_attrcon, sdxl, sdxl_unet, sdxl_attrcon,
+sdxl_attrcon_unet — "attrcon" variants enable attention capture at the
+reference's layer lists (training_script.py:312-315).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from comat_tpu.config import CLIPTextConfig, UNetConfig, VAEConfig
+from comat_tpu.diffusion.guidance import make_cfg_eps_model
+from comat_tpu.diffusion.sampler import (
+    SampleResult,
+    prepare_latents,
+    sample_comat,
+    sample_inference,
+)
+from comat_tpu.diffusion.schedulers import (
+    DiffusionSchedule,
+    make_sampler_coeffs,
+    make_schedule,
+)
+from comat_tpu.models.clip_text import CLIPTextEncoder
+from comat_tpu.models.unet import UNet2DCondition
+from comat_tpu.models.vae import AutoencoderKL
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    unet: UNetConfig
+    text: CLIPTextConfig
+    vae: VAEConfig
+    text2: Optional[CLIPTextConfig] = None  # SDXL second encoder
+    is_sdxl: bool = False
+    attrcon: bool = False
+    capture_layers: Tuple[str, ...] = ()
+    lora_rank: int = 32
+    text_lora_rank: int = 0
+    resolution: int = 512
+
+    @property
+    def latent_size(self) -> int:
+        return self.resolution // 8
+
+
+# Reference capture lists: training_script.py:315 (SD1.5) / :312 (SDXL).
+SD15_CAPTURE = ("mid_8", "up_16", "up_32", "up_64")
+SDXL_CAPTURE = ("mid_16", "up_16", "up_32")
+
+
+def make_pipeline_config(
+    name: str,
+    lora_rank: int = 32,
+    text_lora_rank: int = 0,
+    resolution: int = 512,
+    tiny: bool = False,
+) -> PipelineConfig:
+    attrcon = "attrcon" in name
+    if name.startswith("sd_1_5"):
+        if tiny:
+            return PipelineConfig(
+                unet=UNetConfig.tiny(),
+                text=CLIPTextConfig.tiny(),
+                vae=VAEConfig.tiny(),
+                attrcon=attrcon,
+                capture_layers=("mid_2", "up_4", "up_8", "up_16"),
+                lora_rank=lora_rank,
+                text_lora_rank=text_lora_rank,
+                resolution=resolution,
+            )
+        return PipelineConfig(
+            unet=UNetConfig.sd15(),
+            text=CLIPTextConfig.sd15(),
+            vae=VAEConfig.sd15(),
+            attrcon=attrcon,
+            capture_layers=SD15_CAPTURE,
+            lora_rank=lora_rank,
+            text_lora_rank=text_lora_rank,
+            resolution=resolution,
+        )
+    if name.startswith("sdxl"):
+        if tiny:
+            return PipelineConfig(
+                unet=UNetConfig.tiny_xl(),
+                text=CLIPTextConfig.tiny(),
+                vae=VAEConfig.tiny(),
+                text2=CLIPTextConfig.tiny(),
+                is_sdxl=True,
+                attrcon=attrcon,
+                capture_layers=("mid_4", "up_4", "up_8"),
+                lora_rank=lora_rank,
+                text_lora_rank=text_lora_rank,
+                resolution=resolution,
+            )
+        return PipelineConfig(
+            unet=UNetConfig.sdxl(),
+            text=CLIPTextConfig.sd15(),
+            vae=VAEConfig.sdxl(),
+            text2=CLIPTextConfig.sdxl_big_g(),
+            is_sdxl=True,
+            attrcon=attrcon,
+            capture_layers=SDXL_CAPTURE,
+            lora_rank=lora_rank,
+            text_lora_rank=text_lora_rank,
+            resolution=resolution,
+        )
+    raise ValueError(f"unknown pipeline name {name!r}")
+
+
+class EncodedPrompt(NamedTuple):
+    context: jnp.ndarray                 # (B, L, D)
+    pooled: Optional[jnp.ndarray]        # (B, Dp) — SDXL only
+
+
+class DiffusionPipeline:
+    """Module bundle. All methods take `params` explicitly:
+    params = {"unet": ..., "text": ..., ["text2": ...], "vae": ...}.
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.unet = UNet2DCondition(cfg.unet, lora_rank=cfg.lora_rank)
+        self.text = CLIPTextEncoder(cfg.text, lora_rank=cfg.text_lora_rank)
+        self.text2 = (
+            CLIPTextEncoder(cfg.text2, lora_rank=cfg.text_lora_rank)
+            if cfg.text2 is not None
+            else None
+        )
+        self.vae = AutoencoderKL(cfg.vae)
+        self.schedule: DiffusionSchedule = make_schedule()
+
+    # ---- init ----
+    def init_params(self, rng: jnp.ndarray) -> Dict[str, Any]:
+        cfg = self.cfg
+        B, s = 1, cfg.latent_size
+        ks = jax.random.split(rng, 4)
+        ids = jnp.zeros((B, cfg.text.max_length), jnp.int32)
+        ctx_dim = cfg.unet.cross_attention_dim
+        latents = jnp.zeros((B, s, s, 4))
+        t = jnp.zeros((B,), jnp.int32)
+        ctx = jnp.zeros((B, cfg.text.max_length, ctx_dim))
+        added = None
+        if cfg.is_sdxl:
+            pooled_dim = (
+                cfg.text2.projection_dim or cfg.text2.hidden_size
+            )
+            added = {
+                "text_embeds": jnp.zeros((B, pooled_dim)),
+                "time_ids": jnp.zeros((B, 6)),
+            }
+        params = {
+            "unet": self.unet.init(ks[0], latents, t, ctx, added),
+            "text": self.text.init(ks[1], ids),
+            "vae": self.vae.init(
+                ks[2], jnp.zeros((B, cfg.resolution, cfg.resolution, 3))
+            ),
+        }
+        if self.text2 is not None:
+            params["text2"] = self.text2.init(ks[3], ids)
+        return params
+
+    # ---- text ----
+    def encode_prompt(
+        self,
+        params: Dict[str, Any],
+        input_ids: jnp.ndarray,
+        eos_positions: Optional[jnp.ndarray] = None,
+        input_ids2: Optional[jnp.ndarray] = None,
+        train_text_encoder: bool = False,
+    ) -> EncodedPrompt:
+        """SD1.5: final hidden states. SDXL: concat of penultimate
+        states of both encoders + projected pooled of encoder 2
+        (reference: TrainableSDPipeline.py encode_prompt paths)."""
+        if not self.cfg.is_sdxl:
+            hidden, _ = self.text.apply(params["text"], input_ids, eos_positions)
+            out = EncodedPrompt(hidden, None)
+        else:
+            h1, _ = self.text.apply(
+                params["text"], input_ids, eos_positions,
+                output_hidden_state_skip=1,
+            )
+            ids2 = input_ids2 if input_ids2 is not None else input_ids
+            h2, pooled = self.text2.apply(
+                params["text2"], ids2, eos_positions,
+                output_hidden_state_skip=1,
+            )
+            out = EncodedPrompt(
+                jnp.concatenate([h1, h2], axis=-1), pooled
+            )
+        if not train_text_encoder:
+            out = EncodedPrompt(
+                jax.lax.stop_gradient(out.context),
+                None if out.pooled is None else jax.lax.stop_gradient(out.pooled),
+            )
+        return out
+
+    def sdxl_added_cond(
+        self, pooled: jnp.ndarray, batch: int,
+        original_size: Optional[Tuple[int, int]] = None,
+        crops_coords_top_left: Tuple[int, int] = (0, 0),
+        target_size: Optional[Tuple[int, int]] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """add_time_ids (reference: TrainableSDPipeline.py:428-449)."""
+        r = self.cfg.resolution
+        osz = original_size or (r, r)
+        tsz = target_size or (r, r)
+        ids = jnp.asarray(
+            [list(osz) + list(crops_coords_top_left) + list(tsz)],
+            dtype=jnp.float32,
+        )
+        return {
+            "text_embeds": pooled,
+            "time_ids": jnp.broadcast_to(ids, (batch, 6)),
+        }
+
+    # ---- unet / vae ----
+    def unet_apply(
+        self, params, latents, t, context, added_cond=None, capture=False
+    ):
+        return self.unet.apply(
+            params["unet"], latents, t, context, added_cond,
+            capture=capture, capture_layers=self.cfg.capture_layers,
+        )
+
+    def decode_image(self, params, latents: jnp.ndarray) -> jnp.ndarray:
+        """latents -> image in [0,1]-ish (unclamped, matching
+        reference TrainableSDPipeline.py:219-223 `image/2 + 0.5`)."""
+        z = latents / self.cfg.vae.scaling_factor
+        img = self.vae.apply(params["vae"], z, method=AutoencoderKL.decode)
+        return img / 2.0 + 0.5
+
+    # ---- the CoMat forward (reference forward(): the hot path) ----
+    def forward(
+        self,
+        params: Dict[str, Any],
+        rng: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        null_ids: jnp.ndarray,
+        trained_idx: jnp.ndarray,
+        *,
+        num_inference_steps: int = 50,
+        K: int = 5,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        eos_positions: Optional[jnp.ndarray] = None,
+        null_eos_positions: Optional[jnp.ndarray] = None,
+        input_ids2: Optional[jnp.ndarray] = None,
+        train_text_encoder: bool = False,
+        capture: bool = False,
+        latents0: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, SampleResult]:
+        """Differentiable online generation. Returns (image, result).
+
+        image: (B, H, W, 3) in [0,1] unclamped, differentiable through
+        the K trained steps + VAE decode.
+        """
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        enc = self.encode_prompt(
+            params, input_ids, eos_positions, input_ids2, train_text_encoder
+        )
+        nenc = self.encode_prompt(
+            params, null_ids, null_eos_positions, null_ids, train_text_encoder
+        )
+        added = null_added = None
+        if cfg.is_sdxl:
+            added = self.sdxl_added_cond(enc.pooled, B)
+            null_added = self.sdxl_added_cond(nenc.pooled, B)
+
+        eps_model = make_cfg_eps_model(
+            lambda lat, t, ctx, ac, cap: self.unet_apply(
+                params, lat, t, ctx, ac, cap
+            ),
+            enc.context,
+            nenc.context if guidance_scale > 1.0 else None,
+            guidance_scale,
+            guidance_rescale,
+            added,
+            null_added,
+        )
+        coeffs = make_sampler_coeffs(
+            self.schedule, num_inference_steps, kind="ddpm"
+        )
+        if latents0 is None:
+            rng, lrng = jax.random.split(rng)
+            latents0 = prepare_latents(
+                lrng, B, cfg.resolution, cfg.resolution
+            )
+        interval = num_inference_steps // K
+        res = sample_comat(
+            eps_model, coeffs, latents0, rng, trained_idx, interval,
+            capture=capture,
+        )
+        image = self.decode_image(params, res.latents)
+        return image, res
+
+    # ---- inference (validation / latent generation) ----
+    def generate(
+        self,
+        params: Dict[str, Any],
+        rng: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        null_ids: jnp.ndarray,
+        *,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        eos_positions: Optional[jnp.ndarray] = None,
+        input_ids2: Optional[jnp.ndarray] = None,
+        kind: str = "ddpm",
+        output_type: str = "image",
+        latents0: Optional[jnp.ndarray] = None,
+    ):
+        """No-grad sampling (reference __call__ path /
+        tools/gan_gt_generate.py)."""
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        enc = self.encode_prompt(params, input_ids, eos_positions, input_ids2)
+        nenc = self.encode_prompt(params, null_ids, None, null_ids)
+        added = null_added = None
+        if cfg.is_sdxl:
+            added = self.sdxl_added_cond(enc.pooled, B)
+            null_added = self.sdxl_added_cond(nenc.pooled, B)
+        eps_model = make_cfg_eps_model(
+            lambda lat, t, ctx, ac, cap: self.unet_apply(
+                params, lat, t, ctx, ac, cap
+            ),
+            enc.context,
+            nenc.context if guidance_scale > 1.0 else None,
+            guidance_scale,
+            guidance_rescale,
+            added,
+            null_added,
+        )
+        coeffs = make_sampler_coeffs(
+            self.schedule, num_inference_steps, kind=kind
+        )
+        if latents0 is None:
+            rng, lrng = jax.random.split(rng)
+            latents0 = prepare_latents(lrng, B, cfg.resolution, cfg.resolution)
+        latents, _, _ = sample_inference(eps_model, coeffs, latents0, rng)
+        if output_type == "latent":
+            return latents
+        return jnp.clip(self.decode_image(params, latents), 0.0, 1.0)

@@ -1,0 +1,99 @@
+"""Multi-head attention ops.
+
+Two execution paths behind one interface:
+
+- `capture_probs=False` (the hot path, ~99% of UNet attention calls):
+  dispatches to a fused Pallas flash-attention kernel on TPU when shapes
+  qualify, else an XLA einsum implementation. No probability
+  materialization.
+- `capture_probs=True`: materializes the softmax probabilities as an
+  auxiliary output. This replaces the reference's monkey-patched unfused
+  attention (reference: attn_utils/tc_attn_utils.py:104-161), which
+  exists precisely because fused CUDA kernels cannot expose probs. Here
+  capture is a pure-functional mode used only on the few
+  attribute-concentration layers/steps.
+
+Inputs are pre-projected (B, S, D) tensors; head split/merge happens
+inside. Softmax statistics accumulate in float32 regardless of the
+compute dtype (bf16-safe).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _use_pallas_default() -> bool:
+    return os.environ.get("COMAT_TPU_DISABLE_PALLAS", "0") != "1" and (
+        jax.default_backend() not in ("cpu",)
+    )
+
+
+def _attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    capture_probs: bool,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """(B, H, S, d) attention with fp32 softmax accumulation."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / (head_dim ** 0.5)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits.astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+    return out, (probs if capture_probs else None)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    *,
+    capture_probs: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Attention over pre-projected tensors.
+
+    Args:
+      q: (B, Sq, D); k, v: (B, Skv, D) with D = num_heads * head_dim.
+      capture_probs: additionally return fp32 probs (B, H, Sq, Skv).
+
+    Returns:
+      (out (B, Sq, D), probs or None).
+    """
+    B, Sq, D = q.shape
+    Skv = k.shape[1]
+    head_dim = D // num_heads
+    assert head_dim * num_heads == D, (D, num_heads)
+
+    split = lambda x, s: x.reshape(B, s, num_heads, head_dim).transpose(
+        0, 2, 1, 3
+    )
+    qh, kh, vh = split(q, Sq), split(k, Skv), split(v, Skv)
+
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas and not capture_probs:
+        from comat_tpu.ops import flash_attention
+
+        out = flash_attention.flash_attention(qh, kh, vh)
+        probs = None
+    else:
+        out, probs = _attention_xla(qh, kh, vh, capture_probs)
+
+    out = out.transpose(0, 2, 1, 3).reshape(B, Sq, D)
+    return out, probs

@@ -27,6 +27,11 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:
     pass
+# Persistent compile cache: tiny-model grad compiles cost ~40s each on
+# this single-core host; cache makes test re-runs fast.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, not the remote TPU"
 )

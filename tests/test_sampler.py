@@ -1,0 +1,133 @@
+"""Two-pass sampler tests.
+
+The decisive test: gradients from the two-pass design must equal the
+gradients of an unrolled loop implementing the reference's grad-toggle
+semantics directly (TrainableSDPipeline.py:132-185 with the trainer's
+hardcoded flags) — stop_gradient on the UNet output at non-trained
+steps, full gradients at trained steps, scheduler chain attached.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from comat_tpu.diffusion import make_schedule, make_sampler_coeffs
+from comat_tpu.diffusion.sampler import (
+    sample_comat,
+    sample_inference,
+    _step_noise,
+)
+from comat_tpu.diffusion.schedulers import ddpm_step_from_coeffs
+
+S, K = 10, 3
+INTERVAL = S // K  # 3, so interval*K = 9 < 10 — exercises the tail path
+
+
+def _make_eps_model(w):
+    """Tiny nonlinear eps model: per-pixel channel mixing."""
+
+    def eps_model(x, t, capture=False):
+        h = jnp.tanh(x @ w)
+        eps = h @ w.T
+        captured = {"probe": jnp.sum(h, axis=(1, 2, 3))} if capture else {}
+        return eps, captured
+
+    return eps_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    schedule = make_schedule()
+    coeffs = make_sampler_coeffs(schedule, S, kind="ddpm")
+    k = jax.random.PRNGKey(7)
+    w = jax.random.normal(jax.random.fold_in(k, 1), (4, 4)) * 0.3
+    x0 = jax.random.normal(jax.random.fold_in(k, 2), (2, 8, 8, 4))
+    rng = jax.random.fold_in(k, 3)
+    return coeffs, w, x0, rng
+
+
+def _reference_unrolled(coeffs, w, x0, rng, trained_set):
+    """Unrolled python loop with the reference's gradient semantics."""
+    eps_model = _make_eps_model(w)
+    x = x0
+    for i in range(S):
+        eps, _ = eps_model(x, coeffs.timesteps[i])
+        if i not in trained_set:
+            eps = jax.lax.stop_gradient(eps)
+        noise = _step_noise(rng, jnp.asarray(i), x.shape, jnp.float32)
+        x, _ = ddpm_step_from_coeffs(coeffs, jnp.asarray(i), x, eps, noise)
+    return x
+
+
+@pytest.mark.parametrize("start", [0, 1, 3])
+def test_values_match_inference(setup, start):
+    coeffs, w, x0, rng = setup
+    trained = jnp.arange(start, start + K * INTERVAL, INTERVAL)
+    res = sample_comat(
+        _make_eps_model(w), coeffs, x0, rng, trained, INTERVAL
+    )
+    x_inf, eps_table, traj = sample_inference(
+        _make_eps_model(w), coeffs, x0, rng
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.latents), np.asarray(x_inf), atol=1e-4
+    )
+    assert res.eps_table.shape == (S, 2, 8, 8, 4)
+    assert res.latents_traj.shape == (S, 2, 8, 8, 4)
+
+
+@pytest.mark.parametrize("start", [0, 2])
+def test_grads_match_reference_semantics(setup, start):
+    coeffs, w, x0, rng = setup
+    trained = jnp.arange(start, start + K * INTERVAL, INTERVAL)
+    trained_set = set(range(start, start + K * INTERVAL, INTERVAL))
+
+    def loss_twopass(w_):
+        res = sample_comat(
+            _make_eps_model(w_), coeffs, x0, rng, trained, INTERVAL
+        )
+        return (res.latents ** 2).mean()
+
+    def loss_ref(w_):
+        x = _reference_unrolled(coeffs, w_, x0, rng, trained_set)
+        return (x ** 2).mean()
+
+    v1, g1 = jax.value_and_grad(loss_twopass)(w)
+    v2, g2 = jax.value_and_grad(loss_ref)(w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=1e-6)
+    assert float(jnp.abs(g1).sum()) > 0
+
+
+def test_grads_zero_when_no_influence(setup):
+    """Sanity: latents BEFORE the first trained step carry no param
+    gradient (matches reference :133)."""
+    coeffs, w, x0, rng = setup
+    trained = jnp.arange(2, 2 + K * INTERVAL, INTERVAL)
+
+    def first_entry(w_):
+        res = sample_comat(
+            _make_eps_model(w_), coeffs, x0, rng, trained, INTERVAL
+        )
+        return (res.latents_traj[2] ** 2).mean()
+
+    g = jax.grad(first_entry)(w)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
+
+
+def test_capture_stacks_over_trained_steps(setup):
+    coeffs, w, x0, rng = setup
+    trained = jnp.arange(0, K * INTERVAL, INTERVAL)
+    res = sample_comat(
+        _make_eps_model(w), coeffs, x0, rng, trained, INTERVAL, capture=True
+    )
+    assert res.captured["probe"].shape == (K, 2)
+    # captured values are differentiable w.r.t. w
+    g = jax.grad(
+        lambda w_: sample_comat(
+            _make_eps_model(w_), coeffs, x0, rng, trained, INTERVAL,
+            capture=True,
+        ).captured["probe"].sum()
+    )(w)
+    assert float(jnp.abs(g).sum()) > 0
