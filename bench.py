@@ -5,17 +5,21 @@ Prints ONE JSON line:
 
 Workload = the reference SD1.5 recipe's per-step compute
 (scripts/sd15.sh: 512x512, 50 DDPM steps with CFG, K=5 trained steps,
-LoRA rank 128, BLIP reward), on real SD1.5/BLIP-large geometry with
-random weights (the arithmetic is identical to trained weights).
+LoRA rank 128, BLIP-large reward) on real geometry with random weights
+(arithmetic identical to trained weights). Frozen towers run bf16
+(reference runs fp16 — training_utils/pipeline.py:60-70); LoRA and
+optimizer state stay fp32.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
-A100 baseline is derived analytically from the recipe:
-  A100 imgs/sec/chip ≈ peak_bf16 * MFU / FLOPs_per_image
-with peak 312 TFLOP/s and MFU 0.40 — generous for the reference's
-torch fp16 path (gradient checkpointing + unfused attention on captured
-layers). FLOPs per image are taken from XLA's cost analysis of OUR
-step, which *overstates* the reference's FLOPs slightly (the two-pass
-design pays K extra UNet forwards), making vs_baseline conservative.
+A100 baseline is derived from the recipe:
+    A100 imgs/sec ≈ peak_bf16 * MFU / FLOPs_per_image
+with peak 312 TFLOP/s and an optimistic MFU 0.40 for the reference's
+torch fp16 path. FLOPs_per_image is computed from XLA's cost analysis
+of ONE un-scanned CFG UNet call (+ VAE/BLIP), scaled by the step
+structure: 50 CFG forwards + K backwards (bwd = 2x fwd) + VAE decode
+fwd/bwd + BLIP fwd/bwd. This is the *reference's* FLOP count — our
+two-pass design pays K extra forwards on top, so vs_baseline charges us
+for the overhead, not the reference.
 """
 
 from __future__ import annotations
@@ -32,6 +36,19 @@ A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.40
 
 
+def cast_frozen_bf16(tree):
+    """Frozen-tower dtype policy: bf16 master copies (halves HBM and
+    avoids per-step fp32->bf16 cast traffic); LoRA stays fp32."""
+    def cast(path, x):
+        keys = tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        if any(k.startswith("lora_") for k in keys):
+            return x
+        if x.dtype == jnp.float32 and x.ndim >= 1:
+            return x.astype(jnp.bfloat16)
+        return x
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
 def build(batch_size: int, resolution: int = 512):
     from comat_tpu.config import BLIPConfig
     from comat_tpu.models.blip import BLIPCaptioner
@@ -42,26 +59,16 @@ def build(batch_size: int, resolution: int = 512):
         TrainConfig, init_train_state, make_optimizer, make_train_step,
     )
 
-    pcfg = make_pipeline_config(
-        "sd_1_5", lora_rank=128, resolution=resolution
-    )
+    pcfg = make_pipeline_config("sd_1_5", lora_rank=128, resolution=resolution)
     pipe = DiffusionPipeline(pcfg)
     blip = BLIPCaptioner(BLIPConfig.large())
     k = jax.random.PRNGKey(0)
 
-    # init on host at fp32 would blow memory budget time; init abstract
-    # then materialize zeros in bf16-friendly dtypes directly on device.
-    def init_all(k):
-        return pipe.init_params(k)
-
-    shapes = jax.eval_shape(init_all, k)
+    shapes = jax.eval_shape(pipe.init_params, k)
     params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes
     )
-    # pseudo-random small weights for realistic numerics (cheap fill)
-    params = jax.tree_util.tree_map(
-        lambda x: x + 0.02 if x.ndim >= 2 else x, params
-    )
+    params = cast_frozen_bf16(params)
 
     B = batch_size
     tok = HashTokenizer(49408)
@@ -86,46 +93,94 @@ def build(batch_size: int, resolution: int = 512):
         ),
         k,
     )
-    blip_params = jax.tree_util.tree_map(
+    blip_params = cast_frozen_bf16(jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 0.02, s.dtype), bshapes
-    )
+    ))
 
     tcfg = TrainConfig(total_step=50, K=5, resolution=resolution)
     opt = make_optimizer(tcfg)
-    state = init_train_state(params, tcfg, opt)
+    state, frozen = init_train_state(params, tcfg, opt)
     step = jax.jit(make_train_step(pipe, blip, tcfg, opt), donate_argnums=(0,))
-    return step, state, blip_params, batch
+    return pipe, blip, step, state, frozen, blip_params, batch, tcfg
+
+
+def reference_flops_per_image(pipe, blip, params, blip_params, batch,
+                              tcfg) -> float:
+    """Analytic reference FLOPs/image from un-scanned component costs."""
+    B = batch["input_ids"].shape[0]
+
+    def unet_cfg(params, lat, ctx):
+        eps, _ = pipe.unet_apply(params, lat, jnp.zeros((2 * B,), jnp.int32),
+                                 ctx, fast=False)
+        return eps
+
+    lat = jnp.zeros((2 * B, 64, 64, 4), jnp.bfloat16)
+    ctx = jnp.zeros((2 * B, 77, 768), jnp.bfloat16)
+    c_unet = jax.jit(unet_cfg).lower(params, lat, ctx).compile().cost_analysis()
+    f_unet = float(c_unet["flops"])  # one CFG (2B) forward
+
+    z = jnp.zeros((B, 64, 64, 4))
+    c_vae = jax.jit(
+        lambda p, z: pipe.decode_image(p, z)
+    ).lower(params, z).compile().cost_analysis()
+    f_vae = float(c_vae["flops"])
+
+    img = jnp.zeros((B, 512, 512, 3))
+    from comat_tpu.losses.caption_reward import blip_caption_reward
+
+    c_blip = jax.jit(
+        lambda bp, im: blip_caption_reward(
+            blip, bp, im, batch["caption_ids"], batch["caption_mask"],
+            batch["caption_labels"],
+        )
+    ).lower(blip_params, img).compile().cost_analysis()
+    f_blip = float(c_blip["flops"])
+
+    S, K = tcfg.total_step, tcfg.K
+    total = (
+        S * f_unet            # sampling forwards
+        + K * 2.0 * f_unet    # backward through K trained steps
+        + 3.0 * f_vae         # decode fwd + bwd
+        + 3.0 * f_blip        # reward fwd + bwd
+    )
+    return total / B
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    step, state, blip_params, batch = build(batch_size)
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    pipe, blip, step, state, frozen, blip_params, batch, tcfg = build(
+        batch_size
+    )
     rng = jax.random.PRNGKey(7)
 
-    lowered = step.lower(state, blip_params, batch, rng)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
-    flops = float(cost.get("flops", 0.0)) if cost else 0.0
-
-    # warmup
-    state, m = compiled(state, blip_params, batch, rng)
+    compiled = step.lower(state, frozen, blip_params, batch, rng).compile()
+    state, _, m = compiled(state, frozen, blip_params, batch, rng)
     jax.block_until_ready(m)
 
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, m = compiled(state, blip_params, batch, rng)
+        state, _, m = compiled(state, frozen, blip_params, batch, rng)
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / n_iters
 
     imgs_per_sec = batch_size / dt
-    flops_per_image = flops / batch_size if flops else float("nan")
-    a100_est = (
-        A100_PEAK_FLOPS * A100_ASSUMED_MFU / flops_per_image
-        if flops
-        else float("nan")
-    )
-    vs_baseline = imgs_per_sec / a100_est if flops else float("nan")
+    from comat_tpu.training.train_step import merge_params
+
+    f_img = None
+    try:
+        merged = merge_params(state.trainable, frozen)
+        f_img = reference_flops_per_image(
+            pipe, blip, merged, blip_params, batch, tcfg
+        )
+    except Exception:
+        pass
+
+    if f_img:
+        a100_est = A100_PEAK_FLOPS * A100_ASSUMED_MFU / f_img
+        vs_baseline = imgs_per_sec / a100_est
+    else:
+        a100_est, vs_baseline = float("nan"), float("nan")
 
     print(
         json.dumps(
@@ -137,9 +192,11 @@ def main():
                 "detail": {
                     "batch_size": batch_size,
                     "step_seconds": round(dt, 3),
-                    "step_tflops": round(flops / 1e12, 1) if flops else None,
+                    "ref_tflops_per_image": (
+                        round(f_img / 1e12, 2) if f_img else None
+                    ),
                     "a100_baseline_est_imgs_per_sec": (
-                        round(a100_est, 4) if flops else None
+                        round(a100_est, 4) if f_img else None
                     ),
                     "device": str(jax.devices()[0]),
                 },

@@ -101,6 +101,9 @@ def sample_comat(
     trained_idx: jnp.ndarray,     # (K,) int32 ascending, stride `interval`
     interval: int,                # static: num_steps // K
     capture: bool = False,
+    eps_model_inference=None,     # no-grad variant (e.g. Pallas flash
+                                  # attention over stopped params);
+                                  # defaults to eps_model
 ) -> SampleResult:
     """Full two-pass CoMat sampling. Differentiable through the K
     trained steps only (see module docstring)."""
@@ -108,7 +111,8 @@ def sample_comat(
     K = trained_idx.shape[0]
 
     x_final_inf, eps_table, traj = sample_inference(
-        eps_model, coeffs, latents0, rng
+        eps_model_inference if eps_model_inference is not None else eps_model,
+        coeffs, latents0, rng,
     )
 
     # ---- pass 2: differentiable replay ----

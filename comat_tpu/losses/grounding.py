@@ -1,0 +1,140 @@
+"""Attribute-concentration grounding losses (token + pixel).
+
+Reference math (attn_utils/tc_loss_utils.py:66-173, aggregation in
+attr_concen_utils/gsam_interface.py:140-228):
+
+For one sample, one resolution `res`, given L layer-instance attention
+maps A_l (heads, res*res, 77), per-word GT masks M_w (res, res) and
+word token groups T_w:
+
+  token_loss = sum_l sum_w [ (1/|T_w|) * sum_{t in T_w}
+        (1 - mean_heads( sum(A[.,t]*M_w)/sum(A[.,t]) ))^2 ] / |W|
+  pixel_loss = sum_w BCE( sum_{t in T_w} avg_{l,heads} A[.,t], M_w ) / |W|
+
+summed over the captured timesteps and resolutions, divided by batch
+size (gsam_interface.py:225-226).
+
+TPU-first: everything is fixed-shape and vmapped — words padded to
+(W, T) with validity masks, per-noun GT masks as a dense (B, W, H, W)
+tensor resized on device; no per-word python loops, no ragged
+structures inside jit. BCE clamps logs at -100 like torch BCELoss.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+
+def _resize_masks(masks: jnp.ndarray, res: int) -> jnp.ndarray:
+    """(B, W, H0, W0) -> binarized (B, W, res, res) (tc_loss_utils.py:
+    88-95: antialiased resize then `> 0`)."""
+    B, W, H0, W0 = masks.shape
+    m = jax.image.resize(
+        masks.astype(jnp.float32), (B, W, res, res), method="bilinear",
+        antialias=True,
+    )
+    return (m > 0.0).astype(jnp.float32)
+
+
+def grounding_losses_for_layer(
+    attn_maps: List[jnp.ndarray],   # L x (B, heads, HW, 77) fp32 (cond half)
+    masks: jnp.ndarray,             # (B, W, H0, W0) binary {0,1}
+    token_idx: jnp.ndarray,         # (B, W, T) int32
+    token_valid: jnp.ndarray,       # (B, W, T) bool
+    word_valid: jnp.ndarray,        # (B, W) bool
+):
+    """Returns (token_loss, pixel_loss), each (B,) — per-sample sums
+    matching the reference's per-sample accumulation."""
+    B, heads, HW, _ = attn_maps[0].shape
+    res = int(round(HW ** 0.5))
+    m = _resize_masks(masks, res).reshape(masks.shape[0], masks.shape[1], HW)
+    n_words = jnp.maximum(word_valid.sum(-1), 1)  # (B,)
+
+    # Gather per-token attention: (B, heads, HW, W, T)
+    def gather_tokens(a):  # a: (B, heads, HW, 77)
+        g = jnp.take_along_axis(
+            a[:, :, :, None, None, :],  # (B,h,HW,1,1,77)
+            jnp.broadcast_to(
+                token_idx[:, None, None, :, :, None],
+                (B, heads, HW, token_idx.shape[1], token_idx.shape[2], 1),
+            ),
+            axis=-1,
+        )[..., 0]  # (B, heads, HW, W, T)
+        return g
+
+    token_loss = jnp.zeros((B,), jnp.float32)
+    for a in attn_maps:
+        g = gather_tokens(a.astype(jnp.float32))
+        # activation = sum_HW(ca * mask) / sum_HW(ca): (B, heads, W, T)
+        num = jnp.einsum("bhswt,bws->bhwt", g, m)
+        den = jnp.maximum(g.sum(axis=2), 1e-12)
+        act = num / den
+        act_mean = act.mean(axis=1)  # mean over heads -> (B, W, T)
+        per_tok = (1.0 - act_mean) ** 2
+        per_tok = jnp.where(token_valid, per_tok, 0.0)
+        n_tok = jnp.maximum(token_valid.sum(-1), 1)  # (B, W)
+        obj = per_tok.sum(-1) / n_tok  # (B, W)
+        obj = jnp.where(word_valid, obj, 0.0)
+        token_loss = token_loss + obj.sum(-1) / n_words
+
+    # pixel loss: average maps over layer instances AND heads
+    avg = sum(a.astype(jnp.float32).mean(axis=1) for a in attn_maps) / len(
+        attn_maps
+    )  # (B, HW, 77)
+    g = jnp.take_along_axis(
+        avg[:, :, None, None, :],
+        jnp.broadcast_to(
+            token_idx[:, None, :, :, None],
+            (B, HW, token_idx.shape[1], token_idx.shape[2], 1),
+        ),
+        axis=-1,
+    )[..., 0]  # (B, HW, W, T)
+    g = jnp.where(token_valid[:, None], g, 0.0)
+    word_map = g.sum(-1)  # (B, HW, W) — sum over the word's tokens
+    word_map = jnp.clip(word_map, 0.0, 1.0)
+    tgt = m.transpose(0, 2, 1)  # (B, HW, W)
+    # torch BCELoss: clamp log terms at -100
+    log_p = jnp.maximum(jnp.log(jnp.maximum(word_map, 1e-44)), -100.0)
+    log_1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - word_map, 1e-44)), -100.0)
+    bce = -(tgt * log_p + (1.0 - tgt) * log_1p)  # (B, HW, W)
+    bce = bce.mean(axis=1)  # mean over pixels -> (B, W)
+    bce = jnp.where(word_valid, bce, 0.0)
+    pixel_loss = bce.sum(-1) / n_words
+    return token_loss, pixel_loss
+
+
+def comat_grounding_loss(
+    captured: Dict[str, jnp.ndarray],   # key -> (K, B2, heads, HW, 77)
+    step_mask: jnp.ndarray,             # (K,) float — attrcon-chosen steps
+    masks: jnp.ndarray,                 # (B, W, H0, W0)
+    token_idx: jnp.ndarray,
+    token_valid: jnp.ndarray,
+    word_valid: jnp.ndarray,
+    cond_offset: int,                   # B (CFG batches are [uncond; cond])
+    capture_layers,
+):
+    """Total token/pixel losses over captured steps x layers, averaged
+    by batch size (gsam_interface.py:204-226). `captured[key]` holds a
+    list of per-layer-instance arrays stacked over the K trained steps;
+    `step_mask` selects the attrcon subset (the reference captures only
+    at `attrcon_train_steps` — AttrConcenTrainableSDPipeline.py:159-167
+    — we capture at all K and mask, keeping shapes static)."""
+    B = masks.shape[0]
+    token_total = jnp.zeros((), jnp.float32)
+    pixel_total = jnp.zeros((), jnp.float32)
+    K = step_mask.shape[0]
+    for key in capture_layers:
+        if key not in captured:
+            continue
+        layer_list = captured[key]  # list of (K, B2, heads, HW, 77)
+        for k in range(K):
+            maps = [a[k][cond_offset:] for a in layer_list]
+            tl, pl = grounding_losses_for_layer(
+                maps, masks, token_idx, token_valid, word_valid
+            )
+            token_total = token_total + step_mask[k] * tl.sum()
+            pixel_total = pixel_total + step_mask[k] * pl.sum()
+    return token_total / B, pixel_total / B

@@ -1,0 +1,482 @@
+"""HF checkpoint import: diffusers / transformers torch weights -> our
+Flax param trees.
+
+The reference loads everything with `from_pretrained`
+(training_utils/pipeline.py:42-49, caption_blip.py:17). Here conversion
+is explicit: for each leaf of OUR param tree we derive the HF tensor
+name + layout transform (torch conv OIHW -> flax HWIO, dense (O,I) ->
+(I,O)). Loading works from a local diffusers snapshot directory
+(unet/, vae/, text_encoder/ subfolders with *.safetensors) — no
+network.
+
+Conversion is roundtrip-tested with synthetic state dicts
+(tests/test_hf_import.py); real-weight logit parity is a later
+milestone requiring downloaded checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _t(x):  # dense weight
+    return np.asarray(x).T
+
+
+def _conv(x):  # torch OIHW -> flax HWIO
+    return np.transpose(np.asarray(x), (2, 3, 1, 0))
+
+
+def _id(x):
+    return np.asarray(x)
+
+
+# ---------------------------------------------------------------------
+# UNet name mapping: our path -> (hf name, transform)
+# ---------------------------------------------------------------------
+
+def _unet_hf_name(path: Tuple[str, ...]) -> Optional[Tuple[str, Callable]]:
+    """Map our UNet param path (under params/) to diffusers UNet names."""
+    p = list(path)
+    leaf = p[-1]
+    is_kernel = leaf in ("kernel",)
+    is_scale = leaf == "scale"
+
+    def norm_leaf():
+        return "weight" if is_scale else "bias"
+
+    def dense_leaf():
+        return ("weight", _t) if is_kernel else ("bias", _id)
+
+    def conv_leaf():
+        return ("weight", _conv) if is_kernel else ("bias", _id)
+
+    top = p[0]
+    if top == "conv_in":
+        n, f = conv_leaf()
+        return f"conv_in.{n}", f
+    if top == "conv_out":
+        n, f = conv_leaf()
+        return f"conv_out.{n}", f
+    if top == "conv_norm_out":
+        return f"conv_norm_out.{norm_leaf()}", _id
+    if top in ("time_embedding", "add_embedding"):
+        n, f = dense_leaf()
+        return f"{top}.{p[1]}.{n}", f
+
+    m = re.fullmatch(r"(down|up)_(\d+)_resnet_(\d+)", top)
+    if m:
+        base = f"{m.group(1)}_blocks.{m.group(2)}.resnets.{m.group(3)}"
+        sub = p[1]
+        if sub in ("norm1", "norm2"):
+            return f"{base}.{sub}.{norm_leaf()}", _id
+        if sub in ("conv1", "conv2", "conv_shortcut"):
+            n, f = conv_leaf()
+            return f"{base}.{sub}.{n}", f
+        if sub == "time_emb_proj":
+            n, f = dense_leaf()
+            return f"{base}.time_emb_proj.{n}", f
+    if top.startswith("mid_resnet_"):
+        j = top[-1]
+        base = f"mid_block.resnets.{j}"
+        sub = p[1]
+        if sub in ("norm1", "norm2"):
+            return f"{base}.{sub}.{norm_leaf()}", _id
+        if sub in ("conv1", "conv2", "conv_shortcut"):
+            n, f = conv_leaf()
+            return f"{base}.{sub}.{n}", f
+        if sub == "time_emb_proj":
+            n, f = dense_leaf()
+            return f"{base}.time_emb_proj.{n}", f
+
+    m = re.fullmatch(r"(down|up)_(\d+)_attn_(\d+)", top)
+    mid = top == "mid_attn"
+    if m or mid:
+        base = (
+            "mid_block.attentions.0"
+            if mid
+            else f"{m.group(1)}_blocks.{m.group(2)}.attentions.{m.group(3)}"
+        )
+        sub = p[1]
+        if sub == "norm":
+            return f"{base}.norm.{norm_leaf()}", _id
+        if sub in ("proj_in", "proj_out"):
+            # SD1.5 stores these as 1x1 convs (O,I,1,1); SDXL as linear.
+            n = "weight" if is_kernel else "bias"
+
+            def proj_f(x):
+                x = np.asarray(x)
+                if x.ndim == 4:
+                    x = x[:, :, 0, 0]
+                return x.T if is_kernel else x
+
+            return f"{base}.{sub}.{n}", (proj_f if is_kernel else _id)
+        mb = re.fullmatch(r"blocks_(\d+)", sub)
+        if mb:
+            bb = f"{base}.transformer_blocks.{mb.group(1)}"
+            s2 = p[2]
+            if s2 in ("norm1", "norm2", "norm3"):
+                return f"{bb}.{s2}.{norm_leaf()}", _id
+            if s2 in ("attn1", "attn2"):
+                s3 = p[3]  # to_q/to_k/to_v/to_out
+                rest = p[4]  # base / lora_a / lora_b
+                if rest == "base":
+                    n, f = dense_leaf()
+                    hf = (
+                        f"{bb}.{s2}.to_out.0.{n}"
+                        if s3 == "to_out"
+                        else f"{bb}.{s2}.{s3}.{n}"
+                    )
+                    return hf, f
+                # LoRA factors: diffusers attn processor naming
+                if rest == "lora_a":
+                    return (
+                        f"{bb}.{s2}.processor.{s3}_lora.down.weight", _t
+                    )
+                if rest == "lora_b":
+                    return (
+                        f"{bb}.{s2}.processor.{s3}_lora.up.weight", _t
+                    )
+            if s2 == "ff":
+                n, f = dense_leaf()
+                if p[3] == "proj_in":
+                    return f"{bb}.ff.net.0.proj.{n}", f
+                return f"{bb}.ff.net.2.{n}", f
+
+    m = re.fullmatch(r"down_(\d+)_downsample", top)
+    if m:
+        n, f = conv_leaf()
+        return f"down_blocks.{m.group(1)}.downsamplers.0.conv.{n}", f
+    m = re.fullmatch(r"up_(\d+)_upsample", top)
+    if m:
+        n, f = conv_leaf()
+        return f"up_blocks.{m.group(1)}.upsamplers.0.conv.{n}", f
+    return None
+
+
+# ---------------------------------------------------------------------
+# CLIP text encoder
+# ---------------------------------------------------------------------
+
+def _clip_hf_name(path: Tuple[str, ...]) -> Optional[Tuple[str, Callable]]:
+    p = list(path)
+    leaf = p[-1]
+    is_kernel = leaf == "kernel"
+    pre = "text_model."
+    if p[0] == "token_embedding":
+        return pre + "embeddings.token_embedding.weight", _id
+    if p[0] == "position_embedding":
+        return pre + "embeddings.position_embedding.weight", _id
+    if p[0] == "text_projection":
+        return "text_projection.weight", _t
+    if p[0] == "final_norm":
+        n = "weight" if leaf == "scale" else "bias"
+        return pre + f"final_layer_norm.{n}", _id
+    m = re.fullmatch(r"layers_(\d+)", p[0])
+    if m:
+        base = pre + f"encoder.layers.{m.group(1)}"
+        sub = p[1]
+        if sub in ("norm1", "norm2"):
+            n = "weight" if leaf == "scale" else "bias"
+            hf = "layer_norm1" if sub == "norm1" else "layer_norm2"
+            return f"{base}.{hf}.{n}", _id
+        if sub in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            rest = p[2]
+            n = "weight" if is_kernel else "bias"
+            if rest == "base":
+                return f"{base}.self_attn.{sub}.{n}", (_t if is_kernel else _id)
+            return None  # text-enc LoRA has no HF source
+        if sub in ("fc1", "fc2"):
+            n = "weight" if is_kernel else "bias"
+            return f"{base}.mlp.{sub}.{n}", (_t if is_kernel else _id)
+    return None
+
+
+# ---------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------
+
+def _vae_hf_name(path: Tuple[str, ...]) -> Optional[Tuple[str, Callable]]:
+    p = list(path)
+    tower = p[0]  # encoder / decoder
+    p1 = p[1]
+    leaf = p[-1]
+    is_kernel = leaf == "kernel"
+    norm_n = "weight" if leaf == "scale" else "bias"
+    conv = lambda name: (name + (".weight" if is_kernel else ".bias"),
+                         _conv if is_kernel else _id)
+    dense = lambda name: (name + (".weight" if is_kernel else ".bias"),
+                          _t if is_kernel else _id)
+
+    if tower == "decoder":
+        pre = "decoder."
+        if p1 == "post_quant_conv":
+            return conv("post_quant_conv")
+        if p1 == "conv_in":
+            return conv(pre + "conv_in")
+        if p1 == "conv_out":
+            return conv(pre + "conv_out")
+        if p1 == "conv_norm_out":
+            return pre + f"conv_norm_out.{norm_n}", _id
+        m = re.fullmatch(r"mid_resnet_(\d)", p1)
+        if m:
+            base = pre + f"mid_block.resnets.{m.group(1)}"
+        else:
+            m2 = re.fullmatch(r"up_(\d+)_resnet_(\d+)", p1)
+            base = (
+                pre + f"up_blocks.{m2.group(1)}.resnets.{m2.group(2)}"
+                if m2 else None
+            )
+        if base:
+            sub = p[2]
+            if sub in ("norm1", "norm2"):
+                return f"{base}.{sub}.{norm_n}", _id
+            return conv(f"{base}.{sub}")
+        m = re.fullmatch(r"up_(\d+)_upsample", p1)
+        if m:
+            return conv(pre + f"up_blocks.{m.group(1)}.upsamplers.0.conv")
+        if p1 == "mid_attn":
+            base = pre + "mid_block.attentions.0"
+            sub = p[2]
+            if sub == "norm":
+                return f"{base}.group_norm.{norm_n}", _id
+            hf = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v",
+                  "to_out": "to_out.0"}[sub]
+            return dense(f"{base}.{hf}")
+    if tower == "encoder":
+        pre = "encoder."
+        if p1 == "quant_conv":
+            return conv("quant_conv")
+        if p1 == "conv_in":
+            return conv(pre + "conv_in")
+        if p1 == "conv_out":
+            return conv(pre + "conv_out")
+        if p1 == "conv_norm_out":
+            return pre + f"conv_norm_out.{norm_n}", _id
+        m = re.fullmatch(r"down_(\d+)_resnet_(\d+)", p1)
+        if m:
+            base = pre + f"down_blocks.{m.group(1)}.resnets.{m.group(2)}"
+            sub = p[2]
+            if sub in ("norm1", "norm2"):
+                return f"{base}.{sub}.{norm_n}", _id
+            return conv(f"{base}.{sub}")
+        m = re.fullmatch(r"down_(\d+)_downsample", p1)
+        if m:
+            return conv(
+                pre + f"down_blocks.{m.group(1)}.downsamplers.0.conv"
+            )
+        m = re.fullmatch(r"mid_resnet_(\d)", p1)
+        if m:
+            base = pre + f"mid_block.resnets.{m.group(1)}"
+            sub = p[2]
+            if sub in ("norm1", "norm2"):
+                return f"{base}.{sub}.{norm_n}", _id
+            return conv(f"{base}.{sub}")
+        if p1 == "mid_attn":
+            base = pre + "mid_block.attentions.0"
+            sub = p[2]
+            if sub == "norm":
+                return f"{base}.group_norm.{norm_n}", _id
+            hf = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v",
+                  "to_out": "to_out.0"}[sub]
+            return dense(f"{base}.{hf}")
+    return None
+
+
+# ---------------------------------------------------------------------
+# BLIP (transformers BlipForConditionalGeneration)
+# ---------------------------------------------------------------------
+
+def _blip_hf_name(path: Tuple[str, ...]) -> Optional[Tuple[str, Callable]]:
+    p = list(path)
+    leaf = p[-1]
+    is_kernel = leaf == "kernel"
+    norm_n = "weight" if leaf == "scale" else "bias"
+    dense = lambda name: (
+        name + (".weight" if is_kernel else ".bias"),
+        _t if is_kernel else _id,
+    )
+    vpre = "vision_model."
+    tpre = "text_decoder.bert."
+
+    if p[0] == "vision":
+        p1 = p[1]
+        if p1 == "patch_embed":
+            # HF Blip patch conv has no bias flag? it has bias.
+            return (
+                vpre + "embeddings.patch_embedding."
+                + ("weight" if is_kernel else "bias"),
+                _conv if is_kernel else _id,
+            )
+        if p1 == "cls_token":
+            return vpre + "embeddings.class_embedding", (
+                lambda x: np.asarray(x).reshape(1, 1, -1)
+            )
+        if p1 == "pos_embed":
+            return vpre + "embeddings.position_embedding", _id
+        if p1 == "post_norm":
+            return vpre + f"post_layernorm.{norm_n}", _id
+        m = re.fullmatch(r"layers_(\d+)", p1)
+        if m:
+            base = vpre + f"encoder.layers.{m.group(1)}"
+            sub = p[2]
+            if sub in ("norm1", "norm2"):
+                hf = "layer_norm1" if sub == "norm1" else "layer_norm2"
+                return f"{base}.{hf}.{norm_n}", _id
+            if sub in ("q", "k", "v"):
+                # HF stores fused qkv (3D, D): slice out our third
+                idx = {"q": 0, "k": 1, "v": 2}[sub]
+                n = "weight" if is_kernel else "bias"
+
+                def split_qkv(x, idx=idx):
+                    x = np.asarray(x)
+                    d = x.shape[0] // 3
+                    piece = x[idx * d : (idx + 1) * d]
+                    return piece.T if piece.ndim == 2 else piece
+
+                return f"{base}.self_attn.qkv.{n}", split_qkv
+            if sub == "proj":
+                return dense(f"{base}.self_attn.projection")
+            if sub in ("fc1", "fc2"):
+                return dense(f"{base}.mlp.{sub}")
+    if p[0] == "word_embed":
+        return tpre + "embeddings.word_embeddings.weight", _id
+    if p[0] == "text_pos_embed":
+        return tpre + "embeddings.position_embeddings.weight", _id
+    if p[0] == "embed_norm":
+        return tpre + f"embeddings.LayerNorm.{norm_n}", _id
+    m = re.fullmatch(r"text_layers_(\d+)", p[0])
+    if m:
+        base = tpre + f"encoder.layer.{m.group(1)}"
+        sub = p[1]
+        table = {
+            "self_q": ("attention.self.query", dense),
+            "self_k": ("attention.self.key", dense),
+            "self_v": ("attention.self.value", dense),
+            "self_out": ("attention.output.dense", dense),
+            "cross_q": ("crossattention.self.query", dense),
+            "cross_k": ("crossattention.self.key", dense),
+            "cross_v": ("crossattention.self.value", dense),
+            "cross_out": ("crossattention.output.dense", dense),
+            "fc1": ("intermediate.dense", dense),
+            "fc2": ("output.dense", dense),
+        }
+        if sub in table:
+            hf, fn = table[sub]
+            return fn(f"{base}.{hf}")
+        if sub == "self_norm":
+            return f"{base}.attention.output.LayerNorm.{norm_n}", _id
+        if sub == "cross_norm":
+            return f"{base}.crossattention.output.LayerNorm.{norm_n}", _id
+        if sub == "ff_norm":
+            return f"{base}.output.LayerNorm.{norm_n}", _id
+    if p[0] == "head_transform":
+        return dense("text_decoder.cls.predictions.transform.dense")
+    if p[0] == "head_norm":
+        return (
+            f"text_decoder.cls.predictions.transform.LayerNorm.{norm_n}",
+            _id,
+        )
+    if p[0] == "lm_head":
+        if is_kernel:
+            return "text_decoder.cls.predictions.decoder.weight", _t
+        return "text_decoder.cls.predictions.bias", _id
+    return None
+
+
+def load_blip_params(snapshot_dir: str, blip_params):
+    tensors = _load_safetensors_dir(snapshot_dir)
+    out, missing = convert_tree(blip_params, tensors, _blip_hf_name)
+    if missing:
+        import logging
+
+        logging.getLogger("comat_tpu").warning(
+            "blip: %d unmapped params (first: %s)", len(missing), missing[:3]
+        )
+    return out
+
+
+_MAPPERS = {"unet": _unet_hf_name, "text": _clip_hf_name,
+            "text2": _clip_hf_name, "vae": _vae_hf_name}
+
+
+def _path_keys(path) -> Tuple[str, ...]:
+    return tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+
+
+def convert_tree(
+    our_tree, hf_tensors: Dict[str, np.ndarray], mapper: Callable,
+    strict: bool = False,
+):
+    """Fill our param tree from an HF tensor dict; report misses."""
+    missing = []
+
+    def fill(path, leaf):
+        keys = _path_keys(path)
+        # strip flax's leading 'params'
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        res = mapper(keys)
+        if res is None:
+            if not any(k.startswith("lora_") for k in keys):
+                missing.append("/".join(keys))
+            return leaf
+        name, f = res
+        if name not in hf_tensors:
+            missing.append(f"{'/'.join(keys)} -> {name}")
+            return leaf
+        arr = f(hf_tensors[name]).astype(np.asarray(leaf).dtype)
+        assert arr.shape == leaf.shape, (
+            f"{name}: {arr.shape} != {leaf.shape}"
+        )
+        return jax.numpy.asarray(arr)
+
+    out = jax.tree_util.tree_map_with_path(fill, our_tree)
+    if strict and missing:
+        raise KeyError(f"{len(missing)} unmapped params: {missing[:10]}")
+    return out, missing
+
+
+def _load_safetensors_dir(d: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    tensors: Dict[str, np.ndarray] = {}
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".safetensors"):
+            with safe_open(os.path.join(d, fn), framework="np") as f:
+                for k in f.keys():
+                    tensors[k] = f.get_tensor(k)
+    if not tensors:
+        raise FileNotFoundError(f"no safetensors in {d}")
+    return tensors
+
+
+def load_sd_params(snapshot_dir: str, params, pcfg):
+    """Load a diffusers SD snapshot (unet/ vae/ text_encoder/
+    [text_encoder_2/]) into a pipeline param tree."""
+    out = dict(params)
+    for comp, sub in [("unet", "unet"), ("vae", "vae"),
+                      ("text", "text_encoder"),
+                      ("text2", "text_encoder_2")]:
+        if comp not in params:
+            continue
+        d = os.path.join(snapshot_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        tensors = _load_safetensors_dir(d)
+        out[comp], missing = convert_tree(
+            params[comp], tensors, _MAPPERS[comp]
+        )
+        if missing:
+            import logging
+
+            logging.getLogger("comat_tpu").warning(
+                "%s: %d unmapped params (first: %s)", comp, len(missing),
+                missing[:3],
+            )
+    return out

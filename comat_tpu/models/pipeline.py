@@ -228,11 +228,13 @@ class DiffusionPipeline:
 
     # ---- unet / vae ----
     def unet_apply(
-        self, params, latents, t, context, added_cond=None, capture=False
+        self, params, latents, t, context, added_cond=None, capture=False,
+        fast=False,
     ):
         return self.unet.apply(
             params["unet"], latents, t, context, added_cond,
             capture=capture, capture_layers=self.cfg.capture_layers,
+            fast=fast,
         )
 
     def decode_image(self, params, latents: jnp.ndarray) -> jnp.ndarray:
@@ -280,9 +282,12 @@ class DiffusionPipeline:
             added = self.sdxl_added_cond(enc.pooled, B)
             null_added = self.sdxl_added_cond(nenc.pooled, B)
 
+        # Differentiable eps-model (pass 2): live params; fused Pallas
+        # attention with its custom VJP (non-captured layers), XLA
+        # attention on captured layers.
         eps_model = make_cfg_eps_model(
             lambda lat, t, ctx, ac, cap: self.unet_apply(
-                params, lat, t, ctx, ac, cap
+                params, lat, t, ctx, ac, cap, fast=True
             ),
             enc.context,
             nenc.context if guidance_scale > 1.0 else None,
@@ -290,6 +295,22 @@ class DiffusionPipeline:
             guidance_rescale,
             added,
             null_added,
+        )
+        # Inference eps-model (pass 1): Pallas flash attention over
+        # fully stop-gradient'd params — keeps the no-VJP kernel out of
+        # the autodiff graph entirely.
+        sg = jax.lax.stop_gradient
+        params_ng = jax.tree_util.tree_map(sg, params)
+        eps_model_inf = make_cfg_eps_model(
+            lambda lat, t, ctx, ac, cap: self.unet_apply(
+                params_ng, lat, t, ctx, ac, cap, fast=True
+            ),
+            sg(enc.context),
+            sg(nenc.context) if guidance_scale > 1.0 else None,
+            guidance_scale,
+            guidance_rescale,
+            None if added is None else {k: sg(v) for k, v in added.items()},
+            None if null_added is None else {k: sg(v) for k, v in null_added.items()},
         )
         coeffs = make_sampler_coeffs(
             self.schedule, num_inference_steps, kind="ddpm"
@@ -302,7 +323,7 @@ class DiffusionPipeline:
         interval = num_inference_steps // K
         res = sample_comat(
             eps_model, coeffs, latents0, rng, trained_idx, interval,
-            capture=capture,
+            capture=capture, eps_model_inference=eps_model_inf,
         )
         image = self.decode_image(params, res.latents)
         return image, res
@@ -336,7 +357,7 @@ class DiffusionPipeline:
             null_added = self.sdxl_added_cond(nenc.pooled, B)
         eps_model = make_cfg_eps_model(
             lambda lat, t, ctx, ac, cap: self.unet_apply(
-                params, lat, t, ctx, ac, cap
+                params, lat, t, ctx, ac, cap, fast=True
             ),
             enc.context,
             nenc.context if guidance_scale > 1.0 else None,

@@ -123,6 +123,7 @@ class Attention(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         capture: bool = False,
+        fast: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         inner_dim = x.shape[-1]
         ctx = x if context is None else context
@@ -138,11 +139,12 @@ class Attention(nn.Module):
             inner_dim, use_bias=False, lora_rank=self.lora_rank,
             dtype=self.dtype, name="to_v",
         )(ctx)
+        # Pallas flash kernel only on the inference path (`fast`):
+        # it has no VJP and cannot emit probs. Differentiable passes
+        # and capture use the XLA path.
         out, probs = multi_head_attention(
             q, k, v, self.num_heads, capture_probs=capture,
-            # XLA path whenever probs/grads are needed; the Pallas fast
-            # path is selected by the caller for inference-only passes.
-            use_pallas=None if not capture else False,
+            use_pallas=None if (fast and not capture) else False,
         )
         out = LoRADense(
             inner_dim, use_bias=True, lora_rank=self.lora_rank,
@@ -173,11 +175,13 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, context: jnp.ndarray, capture: bool = False
+        self, x: jnp.ndarray, context: jnp.ndarray, capture: bool = False,
+        fast: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         h, _ = Attention(
             self.num_heads, self.lora_rank, self.dtype, name="attn1"
-        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x),
+          fast=fast)
         x = x + h
         h, probs = Attention(
             self.num_heads, self.lora_rank, self.dtype, name="attn2"
@@ -185,6 +189,7 @@ class TransformerBlock(nn.Module):
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x),
             context=context,
             capture=capture,
+            fast=fast,
         )
         x = x + h
         h = FeedForward(self.dtype, name="ff")(
@@ -207,7 +212,8 @@ class Transformer2D(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, context: jnp.ndarray, capture: bool = False
+        self, x: jnp.ndarray, context: jnp.ndarray, capture: bool = False,
+        fast: bool = False,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         B, H, W, C = x.shape
         residual = x
@@ -222,7 +228,7 @@ class Transformer2D(nn.Module):
             h, probs = TransformerBlock(
                 self.num_heads, self.lora_rank, self.dtype,
                 name=f"blocks_{i}",
-            )(h, context, capture=capture)
+            )(h, context, capture=capture, fast=fast)
             if capture and probs is not None:
                 captured.append(probs)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
@@ -270,6 +276,7 @@ class UNet2DCondition(nn.Module):
         added_cond: Optional[Dict[str, jnp.ndarray]] = None,
         capture: bool = False,
         capture_layers: Tuple[str, ...] = (),
+        fast: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, List[jnp.ndarray]]]:
         cfg = self.cfg
         dt = cfg.dtype
@@ -333,7 +340,7 @@ class UNet2DCondition(nn.Module):
                         self.lora_rank,
                         dt,
                         name=f"down_{i}_attn_{j}",
-                    )(sample, ctx, capture=want("down", res))
+                    )(sample, ctx, capture=want("down", res), fast=fast)
                     record("down", res, caps)
                 res_stack.append(sample)
             if i < n_blocks - 1:
@@ -353,7 +360,7 @@ class UNet2DCondition(nn.Module):
             self.lora_rank,
             dt,
             name="mid_attn",
-        )(sample, ctx, capture=want("mid", res))
+        )(sample, ctx, capture=want("mid", res), fast=fast)
         record("mid", res, caps)
         sample = ResnetBlock(
             mid_ch, cfg.norm_num_groups, dt, name="mid_resnet_1"
@@ -379,7 +386,7 @@ class UNet2DCondition(nn.Module):
                         self.lora_rank,
                         dt,
                         name=f"up_{i}_attn_{j}",
-                    )(sample, ctx, capture=want("up", res))
+                    )(sample, ctx, capture=want("up", res), fast=fast)
                     record("up", res, caps)
             if i < n_blocks - 1:
                 sample = Upsample(ch, dt, name=f"up_{i}_upsample")(sample)

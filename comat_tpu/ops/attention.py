@@ -90,7 +90,9 @@ def multi_head_attention(
     if use_pallas and not capture_probs:
         from comat_tpu.ops import flash_attention
 
-        out = flash_attention.flash_attention(qh, kh, vh)
+        # custom-VJP fused kernel: usable on both the inference scan
+        # and the differentiable replay (backward is also Pallas).
+        out = flash_attention.flash_attention_diff(qh, kh, vh)
         probs = None
     else:
         out, probs = _attention_xla(qh, kh, vh, capture_probs)

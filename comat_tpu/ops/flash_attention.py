@@ -1,4 +1,4 @@
-"""Pallas TPU flash attention (forward, inference path).
+"""Pallas TPU flash attention — forward and custom-VJP backward.
 
 Replaces the reference's dependency on xformers memory-efficient CUDA
 attention (reference: training_script.py:135-146, requirements.txt:7)
@@ -17,9 +17,15 @@ Design:
   sliced off). Non-multiple KV lengths (e.g. the 77-token CLIP context)
   are masked with a static valid-length.
 
-The differentiable replay pass uses the XLA attention in
-comat_tpu/ops/attention.py instead (autodiff + probs capture); a custom
-VJP for this kernel is a later optimization.
+Backward (`flash_attention_vjp`): the standard flash decomposition —
+forward additionally emits the per-row logsumexp; the backward
+recomputes probabilities blockwise from (q, k, L) and accumulates
+dq / (dk, dv) in two independent kernels (parallel over q blocks and
+kv blocks respectively), never materializing the (Sq, Skv) matrix in
+HBM. This is what lets the differentiable replay pass use fused
+attention where the reference had to fall back to unfused torch
+attention on captured layers (attn_utils/tc_attn_utils.py:104-161).
+Probability *capture* still uses the XLA path (probs are the point).
 """
 
 from __future__ import annotations
@@ -76,6 +82,151 @@ def _flash_fwd_kernel(
     l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_fwd_lse_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
+    *, block_kv: int, kv_valid: int, scale: float,
+):
+    """Forward that additionally writes the per-row logsumexp (bwd
+    residual)."""
+    q = q_ref[0]
+    bq, d = q.shape
+    skv = k_ref.shape[1]
+    num_kv = skv // block_kv
+
+    def body(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :]
+        logits = (
+            jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        if kv_valid % block_kv != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(
+                (j * block_kv + col) < kv_valid, logits, NEG_INF
+            )
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref,
+    *, block_kv: int, kv_valid: int, scale: float,
+):
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, None]   # (bq, 1)
+    dvec = dvec_ref[0][:, None]
+    bq, d = q.shape
+    skv = k_ref.shape[1]
+    num_kv = skv // block_kv
+
+    def body(j, acc):
+        k = k_ref[0, pl.ds(j * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(j * block_kv, block_kv), :]
+        logits = (
+            jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        if kv_valid % block_kv != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(
+                (j * block_kv + col) < kv_valid, logits, NEG_INF
+            )
+        p = jnp.exp(logits - lse)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dvec)
+        return acc + jax.lax.dot_general(
+            ds.astype(k.dtype), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, num_kv, body, jnp.zeros((bq, d), jnp.float32)
+    )
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
+    *, block_q: int, kv_valid: int, scale: float,
+):
+    k = k_ref[0]   # (bkv, d)
+    v = v_ref[0]
+    bkv, d = k.shape
+    sq = q_ref.shape[1]
+    num_q = sq // block_q
+    kv_block = pl.program_id(1)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        dvec = dvec_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        logits = (
+            jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        if kv_valid % bkv != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(
+                (kv_block * bkv + col) < kv_valid, logits, NEG_INF
+            )
+        p = jnp.exp(logits - lse)  # (bq, bkv)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dvec)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    dk0 = jnp.zeros((bkv, d), jnp.float32)
+    dv0 = jnp.zeros((bkv, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -150,3 +301,143 @@ def flash_attention(
         interpret=interpret,
     )(qf, kf, vf)
     return out[:, :Sq, :d].reshape(B, H, Sq, d)
+
+
+def _pad_bhsd(x, s_pad, d_pad):
+    B, H, S, d = x.shape
+    out = x.reshape(B * H, S, d)
+    if s_pad != S or d_pad != d:
+        out = jnp.pad(out, ((0, 0), (0, s_pad - S), (0, d_pad - d)))
+    return out
+
+
+def _blocks(Sq, Skv, d):
+    d_pad = _round_up(d, 128)
+    block_q = min(512, _round_up(Sq, 8))
+    block_kv = min(512, _round_up(Skv, 128))
+    return d_pad, block_q, block_kv, _round_up(Sq, block_q), _round_up(
+        Skv, block_kv
+    )
+
+
+def _fwd_lse(q, k, v):
+    B, H, Sq, d = q.shape
+    Skv = k.shape[2]
+    scale = 1.0 / (d ** 0.5)
+    d_pad, bq, bkv, sq_pad, skv_pad = _blocks(Sq, Skv, d)
+    qf = _pad_bhsd(q, sq_pad, d_pad)
+    kf = _pad_bhsd(k, skv_pad, d_pad)
+    vf = _pad_bhsd(v, skv_pad, d_pad)
+    grid = (B * H, sq_pad // bq)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_lse_kernel, block_kv=bkv, kv_valid=Skv, scale=scale
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((B * H, sq_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(qf, kf, vf)
+    return out, lse, (qf, kf, vf)
+
+
+@jax.custom_vjp
+def flash_attention_diff(q, k, v):
+    """Differentiable fused attention over (B, H, S, d)."""
+    B, H, Sq, d = q.shape
+    out, _, _ = _fwd_lse(q, k, v)
+    return out[:, :Sq, :d].reshape(B, H, Sq, d)
+
+
+def _flash_diff_fwd(q, k, v):
+    B, H, Sq, d = q.shape
+    out, lse, (qf, kf, vf) = _fwd_lse(q, k, v)
+    res = (qf, kf, vf, out, lse, (B, H, Sq, k.shape[2], d))
+    return out[:, :Sq, :d].reshape(B, H, Sq, d), res
+
+
+def _flash_diff_bwd(res, g):
+    qf, kf, vf, out_pad, lse, (B, H, Sq, Skv, d) = res
+    scale = 1.0 / (d ** 0.5)
+    d_pad, bq, bkv, sq_pad, skv_pad = _blocks(Sq, Skv, d)
+    gf = _pad_bhsd(g, sq_pad, d_pad)
+    # dvec = rowsum(dO * O) in fp32 (padded rows contribute zero)
+    dvec = jnp.sum(
+        gf.astype(jnp.float32) * out_pad.astype(jnp.float32), axis=-1
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, block_kv=bkv, kv_valid=Skv, scale=scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, sq_pad, d_pad), qf.dtype),
+        grid=(B * H, sq_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+    )(qf, kf, vf, gf, lse, dvec)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, block_q=bq, kv_valid=Skv, scale=scale
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, skv_pad, d_pad), kf.dtype),
+            jax.ShapeDtypeStruct((B * H, skv_pad, d_pad), vf.dtype),
+        ),
+        grid=(B * H, skv_pad // bkv),
+        in_specs=[
+            pl.BlockSpec((1, sq_pad, d_pad), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d_pad), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d_pad), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad, d_pad), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad), lambda b, j: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad), lambda b, j: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bkv, d_pad), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d_pad), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(qf, kf, vf, gf, lse, dvec)
+
+    unpad = lambda x, S: x[:, :S, :d].reshape(B, H, S, d)
+    return unpad(dq, Sq), unpad(dk, Skv), unpad(dv, Skv)
+
+
+flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

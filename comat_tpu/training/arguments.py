@@ -1,0 +1,137 @@
+"""Training CLI flags — the reference's public flag surface, preserved.
+
+Mirrors training_utils/arguments.py (the ~65-flag argparse contract
+that scripts/sd15.sh and scripts/sdxl.sh drive — SURVEY.md §5.6 calls
+this the API contract to keep). Flags that are CUDA/torch-specific
+(--allow_tf32, --mixed_precision, --use_8bit_adam, --local_rank) are
+accepted for script compatibility and mapped to their TPU-native
+equivalents or no-ops, documented inline.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="CoMat TPU training")
+
+    # --- model ---
+    p.add_argument("--pretrain_model", type=str,
+                   default="runwayml/stable-diffusion-v1-5",
+                   help="checkpoint path or HF snapshot dir")
+    p.add_argument("--pretrain_model_name", type=str, default="sd_1_5",
+                   choices=["sd_1_5", "sd_1_5_attrcon", "sdxl", "sdxl_unet",
+                            "sdxl_attrcon", "sdxl_attrcon_unet"])
+    p.add_argument("--revision", type=str, default=None)
+    p.add_argument("--sdxl_unet_path", type=str, default=None)
+    p.add_argument("--prediction_type", type=str, default=None)
+
+    # --- method ---
+    p.add_argument("--caption_model", type=str, default="Blip", nargs="+")
+    p.add_argument("--reward_weights", type=float, default=None, nargs="+")
+    p.add_argument("--seg_model", type=str, default="gsam")
+    p.add_argument("--K", type=int, default=5)
+    p.add_argument("--total_step", type=int, default=50)
+    p.add_argument("--scheduler", type=str, default="DDPM")
+    p.add_argument("--cfg_scale", type=float, default=7.5)
+    p.add_argument("--cfg_rescale", type=float, default=0.0)
+    p.add_argument("--bp_on_trained", action="store_true")
+    p.add_argument("--attrcon_train_steps", type=int, default=2)
+    p.add_argument("--mask_token_loss_weight", type=float, default=1e-3)
+    p.add_argument("--mask_pixel_loss_weight", type=float, default=5e-5)
+    p.add_argument("--norm_grad", action="store_true")
+    p.add_argument("--batch_repeat", type=int, default=1)
+
+    # --- GAN ---
+    p.add_argument("--gan_loss", action="store_true")
+    p.add_argument("--gan_model_arch", type=str, default="sd_1_5")
+    p.add_argument("--gan_loss_weight", type=float, default=1.0)
+    p.add_argument("--condition_discriminator", action="store_true")
+    p.add_argument("--gan_unet_lastlayer_cls", action="store_true")
+    p.add_argument("--gan_gt_path", type=str, default=None,
+                   help="jsonl index of pre-generated latents "
+                        "(tools/gan_gt_generate.py output)")
+    p.add_argument("--learning_rate_D", type=float, default=2e-5)
+    p.add_argument("--adam_beta1_D", type=float, default=0.0)
+    p.add_argument("--adam_beta2_D", type=float, default=0.999)
+    p.add_argument("--max_grad_norm_D", type=float, default=1.0)
+
+    # --- trainable surface ---
+    p.add_argument("--full_finetuning", action="store_true")
+    p.add_argument("--lora_rank", type=int, default=32)
+    p.add_argument("--tune_vae", action="store_true")
+    p.add_argument("--tune_text_encoder", action="store_true")
+    p.add_argument("--train_text_encoder_lora", action="store_true")
+    p.add_argument("--textenc_lora_lr", type=float, default=None)
+
+    # --- optimization ---
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="accepted for parity; plain AdamW on TPU")
+    p.add_argument("--allow_tf32", action="store_true",
+                   help="no-op on TPU (native bf16)")
+    p.add_argument("--mixed_precision", type=str, default=None,
+                   choices=[None, "no", "fp16", "bf16"],
+                   help="TPU build always computes bf16 w/ fp32 LoRA")
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--optimizer_class", type=str, default="AdamW")
+
+    # --- data ---
+    p.add_argument("--training_prompts", type=str, required=True)
+    p.add_argument("--image_folder", type=str, default=None)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--dataloader_num_workers", type=int, default=0)
+    p.add_argument("--center_crop", action="store_true")
+    p.add_argument("--max_train_samples", type=int, default=None)
+
+    # --- run ---
+    p.add_argument("--output_dir", type=str, default="comat-output")
+    p.add_argument("--logging_dir", type=str, default="logs")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max_train_steps", type=int, default=100)
+    p.add_argument("--num_train_epochs", type=int, default=100)
+    p.add_argument("--validation_prompts", type=str, default=None)
+    p.add_argument("--validation_steps", type=int, default=100)
+    p.add_argument("--num_validation_images", type=int, default=4)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--report_to", type=str, default="tensorboard")
+    p.add_argument("--tracker_project_name", type=str,
+                   default="comat-tpu")
+    p.add_argument("--local_rank", type=int, default=-1,
+                   help="accepted for launcher parity; unused (jax "
+                        "process_index drives host identity)")
+
+    # --- TPU-native extras (no reference equivalent) ---
+    p.add_argument("--tokenizer_dir", type=str, default=None,
+                   help="local CLIP tokenizer files (vocab.json+merges)")
+    p.add_argument("--blip_tokenizer_vocab", type=str, default=None)
+    p.add_argument("--tiny_models", action="store_true",
+                   help="CPU-runnable tiny geometry (testing)")
+    p.add_argument("--precomputed_masks", type=str, default=None,
+                   help=".npz of per-noun masks for attribute "
+                        "concentration (offline segmentation)")
+    p.add_argument("--mesh_model_axis", type=int, default=1)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="jax.profiler trace output dir")
+
+    args = p.parse_args(argv)
+
+    # Derived (reference arguments.py:393-396)
+    args.do_classifier_free_guidance = args.cfg_scale > 1.0
+    if args.reward_weights is None:
+        models = args.caption_model if isinstance(args.caption_model, list) \
+            else [args.caption_model]
+        args.reward_weights = [1.0] * len(models)
+    return args

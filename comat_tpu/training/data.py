@@ -61,13 +61,18 @@ class PromptDataset:
         self.process_count = process_count
 
     def __len__(self):
-        return len(self.prompts) // (self.batch_size * self.process_count)
+        return max(
+            len(self.prompts) // (self.batch_size * self.process_count), 1
+        )
 
     def epoch(self, epoch: int) -> Iterator[List[str]]:
         order = list(range(len(self.prompts)))
         rng = random.Random(self.seed + self.process_index + epoch * 1000003)
         rng.shuffle(order)
         shard = order[self.process_index :: self.process_count]
+        if len(shard) < self.batch_size:  # tiny corpora: tile to fill
+            reps = -(-self.batch_size // max(len(shard), 1))
+            shard = (shard * reps)[: self.batch_size]
         for i in range(0, len(shard) - self.batch_size + 1, self.batch_size):
             yield [self.prompts[j] for j in shard[i : i + self.batch_size]]
 

@@ -67,9 +67,20 @@ class TrainConfig:
 
 
 class TrainState(NamedTuple):
+    """Mutable-per-step state ONLY (donated through the jit). Frozen
+    towers are passed alongside and never flow through outputs — they
+    are shared read-only HBM (G and D share base UNet weights)."""
+
     step: jnp.ndarray
     trainable: Any     # LoRA (+ optionally text-enc) params
-    frozen: Any        # same structure, complementary leaves
+    opt_state: Any
+
+
+class DiscState(NamedTuple):
+    """Discriminator mutable state (second optimizer —
+    training_script.py:267-275, 679-694)."""
+
+    trainable: Any
     opt_state: Any
 
 
@@ -81,6 +92,29 @@ def partition_params(params) -> Tuple[Any, Any]:
     )
     frozen = jax.tree_util.tree_map(
         lambda m, p: None if m else p, mask, params
+    )
+    return trainable, frozen
+
+
+def partition_disc_params(d_params) -> Tuple[Any, Any]:
+    """D trainables = LoRA + classification head (the reference's
+    D_parameters: training_utils/gan_sdxl.py:37-40)."""
+    from comat_tpu.models.lora import is_lora_path
+
+    def is_trainable(path) -> bool:
+        keys = tuple(
+            getattr(p, "key", getattr(p, "name", str(p))) for p in path
+        )
+        return is_lora_path(keys) or (keys and keys[0] == "head")
+
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: is_trainable(path), d_params
+    )
+    trainable = jax.tree_util.tree_map(
+        lambda m, p: p if m else None, mask, d_params
+    )
+    frozen = jax.tree_util.tree_map(
+        lambda m, p: None if m else p, mask, d_params
     )
     return trainable, frozen
 
@@ -123,14 +157,15 @@ def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransfor
 
 def init_train_state(
     params, cfg: TrainConfig, optimizer: optax.GradientTransformation
-) -> TrainState:
+) -> Tuple[TrainState, Any]:
+    """Returns (state, frozen)."""
     trainable, frozen = partition_params(params)
-    return TrainState(
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
         trainable=trainable,
-        frozen=frozen,
         opt_state=optimizer.init(trainable),
     )
+    return state, frozen
 
 
 def sample_trained_idx(rng: jnp.ndarray, cfg: TrainConfig) -> jnp.ndarray:
@@ -142,21 +177,65 @@ def sample_trained_idx(rng: jnp.ndarray, cfg: TrainConfig) -> jnp.ndarray:
     return start + interval * jnp.arange(cfg.K)
 
 
+def make_d_optimizer(cfg: "TrainConfig", lr: float = 2e-5,
+                     b1: float = 0.0, b2: float = 0.999,
+                     max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+    """D optimizer (scripts/sd15.sh: lr_D 2e-5, adam_beta1_D 0,
+    max_grad_norm_D 1.0)."""
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(lr, b1=b1, b2=b2, eps=cfg.adam_eps,
+                    weight_decay=cfg.adam_weight_decay),
+    )
+
+
+def init_disc_state(d_params, d_optimizer) -> Tuple[DiscState, Any]:
+    """Returns (d_state, d_frozen)."""
+    trainable, frozen = partition_disc_params(d_params)
+    return DiscState(
+        trainable=trainable,
+        opt_state=d_optimizer.init(trainable),
+    ), frozen
+
+
 def make_train_step(
     pipeline: DiffusionPipeline,
     blip_module,
     cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
     extra_losses: Optional[Callable] = None,
+    disc=None,
+    d_optimizer: Optional[optax.GradientTransformation] = None,
 ):
     """Build the jitted train step.
 
-    extra_losses(merged_params, batch, image, result, rng) ->
-    (loss_add, metrics_dict) — hook for GAN G-loss / grounding losses,
-    added in their own milestones without touching this core.
-    """
+    With `disc` (a losses.gan.Discriminator) and `d_optimizer`, the step
+    performs the reference's full G-then-D sequence in one XLA program
+    (training_script.py:556-694): G update with the GAN G-loss added,
+    then the D update on detached latents + ground-truth latents from
+    the batch ("gt_latents").
 
-    def loss_fn(trainable, frozen, blip_params, batch, rng):
+    extra_losses(merged_params, batch, image, result, rng) ->
+    (loss_add, metrics_dict) — hook for grounding losses.
+    """
+    from comat_tpu.diffusion.schedulers import inference_timesteps
+    from comat_tpu.losses.gan import gan_d_loss, gan_g_loss
+
+    t_final = int(inference_timesteps(cfg.total_step)[-1])
+
+    def null_ctx_for_d(params, batch):
+        # The reference computes D's null-text condition once from D's
+        # own (identical-weight) text encoder (gan_sdxl.py:134-155);
+        # shared weights make it the same vector.
+        enc = pipeline.encode_prompt(params, batch["null_ids"])
+        added = None
+        if pipeline.cfg.is_sdxl:
+            added = pipeline.sdxl_added_cond(
+                enc.pooled, batch["null_ids"].shape[0]
+            )
+        return jax.lax.stop_gradient(enc.context), added
+
+    def loss_fn(trainable, frozen, blip_params, batch, rng, d_params):
         params = merge_params(trainable, frozen)
         rngs = jax.random.split(rng, 4)
         trained_idx = sample_trained_idx(rngs[0], cfg)
@@ -218,18 +297,37 @@ def make_train_step(
             "reward_total": total_reward,
             "reward_norm": reward_norm,
         }
+
+        if disc is not None:
+            null_ctx, null_added = null_ctx_for_d(params, batch)
+            g_loss = gan_g_loss(
+                disc, d_params, result.latents,
+                jnp.full((result.latents.shape[0],), t_final, jnp.int32),
+                null_ctx, null_added,
+            )
+            loss = loss + cfg.gan_loss_weight * g_loss
+            metrics["G_loss"] = g_loss
+
         if extra_losses is not None:
             add, extra_metrics = extra_losses(params, batch, image, result, rng)
             loss = loss + add
             metrics.update(extra_metrics)
         metrics["step_loss"] = loss
-        return loss, metrics
+        return loss, (metrics, result.latents)
 
-    def train_step(state: TrainState, blip_params, batch, rng):
+    def train_step(
+        state: TrainState, frozen, blip_params, batch, rng,
+        d_state: Optional[DiscState] = None, d_frozen=None,
+    ):
         rng = jax.random.fold_in(rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable, state.frozen, blip_params, batch, rng
+        d_params = (
+            merge_params(d_state.trainable, d_frozen)
+            if d_state is not None
+            else None
         )
+        (loss, (metrics, gen_latents)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.trainable, frozen, blip_params, batch, rng, d_params)
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.trainable
@@ -238,9 +336,33 @@ def make_train_step(
         new_state = TrainState(
             step=state.step + 1,
             trainable=trainable,
-            frozen=state.frozen,
             opt_state=opt_state,
         )
-        return new_state, metrics
+
+        new_d_state = d_state
+        if disc is not None and d_state is not None:
+            g_params = merge_params(trainable, frozen)
+            null_ctx, null_added = null_ctx_for_d(g_params, batch)
+            tf = jnp.full((gen_latents.shape[0],), t_final, jnp.int32)
+            tf2 = jnp.concatenate([tf, tf])
+
+            def d_loss_fn(d_trainable):
+                dp = merge_params(d_trainable, d_frozen)
+                return gan_d_loss(
+                    disc, dp, gen_latents, batch["gt_latents"], tf2,
+                    null_ctx, null_added,
+                )
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_state.trainable)
+            d_updates, d_opt_state = d_optimizer.update(
+                d_grads, d_state.opt_state, d_state.trainable
+            )
+            new_d_state = DiscState(
+                trainable=optax.apply_updates(d_state.trainable, d_updates),
+                opt_state=d_opt_state,
+            )
+            metrics["D_loss"] = d_loss
+
+        return new_state, new_d_state, metrics
 
     return train_step

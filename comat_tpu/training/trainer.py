@@ -1,0 +1,443 @@
+"""Trainer: end-to-end orchestration (reference: training_script.py
+Trainer class).
+
+Construction order mirrors the reference __init__ (SURVEY.md §3.1):
+logger -> pipeline -> caption model -> discriminator -> resume ->
+optimizers -> dataset -> (attrcon models) -> mesh placement -> trackers.
+The per-step loop (train()) is one jitted XLA program per step
+(training/train_step.py); the host only tokenizes, feeds batches, and
+logs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from comat_tpu.config import BLIPConfig
+from comat_tpu.losses.gan import Discriminator, GanConfig
+from comat_tpu.models.blip import BLIPCaptioner
+from comat_tpu.models.pipeline import DiffusionPipeline, make_pipeline_config
+from comat_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_tree,
+    shard_batch,
+)
+from comat_tpu.text.tokenizer import HashTokenizer, load_clip_tokenizer
+from comat_tpu.training import checkpoints as ckpt_lib
+from comat_tpu.training.data import (
+    GanLatentStore,
+    PromptDataset,
+    assemble_batch,
+    load_prompts,
+)
+from comat_tpu.training.logging_utils import MetricsWriter, StepTimer, set_logger
+from comat_tpu.training.train_step import (
+    TrainConfig,
+    init_disc_state,
+    init_train_state,
+    make_d_optimizer,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _lr_schedule(args):
+    import optax
+
+    if args.lr_scheduler == "constant":
+        if args.lr_warmup_steps:
+            return optax.linear_schedule(
+                0.0, args.learning_rate, args.lr_warmup_steps
+            )
+        return args.learning_rate
+    if args.lr_scheduler == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, args.learning_rate, args.lr_warmup_steps,
+            args.max_train_steps,
+        )
+    if args.lr_scheduler == "linear":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(
+                    0.0, args.learning_rate, args.lr_warmup_steps
+                ),
+                optax.linear_schedule(
+                    args.learning_rate, 0.0,
+                    args.max_train_steps - args.lr_warmup_steps,
+                ),
+            ],
+            [args.lr_warmup_steps],
+        )
+    raise ValueError(f"unknown lr_scheduler {args.lr_scheduler!r}")
+
+
+class Trainer:
+    def __init__(self, args):
+        self.args = args
+        self.logger = set_logger(args.output_dir)
+        self.logger.info("building pipeline %s", args.pretrain_model_name)
+
+        tiny = bool(getattr(args, "tiny_models", False))
+        self.pcfg = make_pipeline_config(
+            args.pretrain_model_name,
+            lora_rank=args.lora_rank,
+            text_lora_rank=args.lora_rank if args.train_text_encoder_lora else 0,
+            resolution=args.resolution,
+            tiny=tiny,
+        )
+        self.pipeline = DiffusionPipeline(self.pcfg)
+        rng = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+        self.rng, init_rng, blip_rng = jax.random.split(rng, 3)
+        params = self.pipeline.init_params(init_rng)
+        params = self._maybe_load_pretrained(params)
+
+        # caption model (frozen)
+        self.blip_cfg = BLIPConfig.tiny() if tiny else BLIPConfig.large()
+        self.blip = BLIPCaptioner(self.blip_cfg)
+        self.blip_params = self._init_blip(blip_rng)
+
+        # tokenizers
+        if tiny:
+            self.clip_tok = HashTokenizer(self.pcfg.text.vocab_size)
+            self.caption_tok = HashTokenizer(self.blip_cfg.vocab_size)
+        else:
+            self.clip_tok = load_clip_tokenizer(args.tokenizer_dir)
+            if args.blip_tokenizer_vocab:
+                from comat_tpu.text.tokenizer import BertWordPieceTokenizer
+
+                self.caption_tok = BertWordPieceTokenizer(
+                    args.blip_tokenizer_vocab
+                )
+            else:
+                self.caption_tok = HashTokenizer(self.blip_cfg.vocab_size)
+
+        # train config
+        self.tcfg = TrainConfig(
+            total_step=args.total_step,
+            K=args.K,
+            guidance_scale=args.cfg_scale,
+            guidance_rescale=args.cfg_rescale,
+            resolution=args.resolution,
+            reward_weight=args.reward_weights[0],
+            learning_rate=args.learning_rate,
+            adam_b1=args.adam_beta1,
+            adam_b2=args.adam_beta2,
+            adam_eps=args.adam_epsilon,
+            adam_weight_decay=args.adam_weight_decay,
+            max_grad_norm=args.max_grad_norm,
+            norm_grad=args.norm_grad,
+            train_text_encoder=(
+                args.tune_text_encoder or args.train_text_encoder_lora
+            ),
+            gan_loss=args.gan_loss,
+            gan_loss_weight=args.gan_loss_weight,
+            attrcon="attrcon" in args.pretrain_model_name,
+            attrcon_train_steps=args.attrcon_train_steps,
+            mask_token_loss_weight=args.mask_token_loss_weight,
+            mask_pixel_loss_weight=args.mask_pixel_loss_weight,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+        )
+
+        self.optimizer = make_optimizer(self.tcfg, _lr_schedule(args))
+        self.state, self.frozen = init_train_state(
+            params, self.tcfg, self.optimizer
+        )
+
+        # discriminator
+        self.disc = None
+        self.d_state = None
+        self.d_frozen = None
+        self.d_optimizer = None
+        self.latent_store = None
+        if args.gan_loss:
+            self.disc = Discriminator(
+                self.pcfg.unet,
+                GanConfig(
+                    lora_rank=args.lora_rank,
+                    lastlayer_cls=args.gan_unet_lastlayer_cls,
+                    condition_discriminator=args.condition_discriminator,
+                ),
+            )
+            d_params = self.disc.init_params(
+                jax.random.fold_in(init_rng, 7),
+                latent_size=self.pcfg.latent_size,
+                context_dim=self.pcfg.unet.cross_attention_dim,
+                context_len=self.pcfg.text.max_length,
+                added_cond=(
+                    {
+                        "text_embeds": jnp.zeros(
+                            (1, self.pcfg.text2.projection_dim
+                             or self.pcfg.text2.hidden_size)
+                        ),
+                        "time_ids": jnp.zeros((1, 6)),
+                    }
+                    if self.pcfg.is_sdxl
+                    else None
+                ),
+            )
+            # D's frozen base shares the generator's base UNet weights
+            # (both start from the same pretrained model —
+            # gan_sd_model.py:8-13)
+            d_params = self._share_base_unet(d_params, params)
+            self.d_optimizer = make_d_optimizer(
+                self.tcfg,
+                lr=args.learning_rate_D,
+                b1=args.adam_beta1_D,
+                b2=args.adam_beta2_D,
+                max_grad_norm=args.max_grad_norm_D,
+            )
+            self.d_state, self.d_frozen = init_disc_state(
+                d_params, self.d_optimizer
+            )
+            if args.gan_gt_path:
+                self.latent_store = GanLatentStore(args.gan_gt_path)
+
+        # mesh (before data: batch sizing depends on the data axis)
+        n = jax.device_count()
+        model_axis = getattr(args, "mesh_model_axis", 1) or 1
+        self.mesh = make_mesh(data=n // model_axis, model=model_axis)
+
+        # data: train_batch_size is PER-CHIP (the reference's per-GPU
+        # semantics, node8.yaml: global batch = bs x 8); each step
+        # consumes bs x data_axis prompts on this host.
+        data_axis = n // model_axis
+        self.step_batch = args.train_batch_size * (
+            data_axis // jax.process_count()
+        )
+        prompts = load_prompts(args.training_prompts, args.max_train_samples)
+        self.dataset = PromptDataset(
+            prompts,
+            self.step_batch,
+            seed=args.seed or 0,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+
+        # resume (reference training_script.py:156-205)
+        self.global_step = 0
+        if args.resume_from_checkpoint:
+            path = args.resume_from_checkpoint
+            if path == "latest":
+                path = ckpt_lib.latest_checkpoint(args.output_dir)
+            if path:
+                self.state, self.d_state, self.rng, self.global_step = (
+                    ckpt_lib.restore_checkpoint(
+                        path, self.state, self.d_state, self.rng
+                    )
+                )
+                self.logger.info("resumed from %s (step %d)", path,
+                                 self.global_step)
+
+        # mesh placement (frozen towers are shared read-only between
+        # G and D — same buffers, replicated once)
+        self.state = replicate_tree(self.state, self.mesh)
+        self.frozen = replicate_tree(self.frozen, self.mesh)
+        self.blip_params = replicate_tree(self.blip_params, self.mesh)
+        if self.d_state is not None:
+            self.d_state = replicate_tree(self.d_state, self.mesh)
+            self.d_frozen = replicate_tree(self.d_frozen, self.mesh)
+
+        # attribute concentration
+        self.seg_holder = None
+        extra_losses = None
+        if self.tcfg.attrcon:
+            from comat_tpu.segmentation.interface import (
+                CenterPriorSegmenter, PrecomputedMaskSegmenter, SegmenterHolder,
+            )
+            from comat_tpu.training.attrcon import make_attrcon_extra_losses
+
+            seg_path = getattr(args, "precomputed_masks", None)
+            segmenter = (
+                PrecomputedMaskSegmenter(seg_path) if seg_path
+                else CenterPriorSegmenter()
+            )
+            self.seg_holder = SegmenterHolder(segmenter)
+            extra_losses = make_attrcon_extra_losses(
+                self.pipeline, self.seg_holder, self.tcfg
+            )
+
+        self.train_step = jax.jit(
+            make_train_step(
+                self.pipeline, self.blip, self.tcfg, self.optimizer,
+                extra_losses=extra_losses,
+                disc=self.disc, d_optimizer=self.d_optimizer,
+            ),
+            donate_argnums=(0, 5),
+        )
+        self.metrics = MetricsWriter(args.output_dir, args.logging_dir)
+        self.timer = StepTimer()
+
+    # ---- weights ----
+    def _maybe_load_pretrained(self, params):
+        path = self.args.pretrain_model
+        if path and os.path.isdir(path):
+            try:
+                from comat_tpu.models.hf_import import load_sd_params
+
+                return load_sd_params(path, params, self.pcfg)
+            except Exception as e:  # zero-egress envs ship no weights
+                self.logger.warning(
+                    "could not load pretrained weights from %s (%s); "
+                    "using random init", path, e,
+                )
+        else:
+            self.logger.warning(
+                "pretrained weights unavailable at %r; random init", path
+            )
+        return params
+
+    def _init_blip(self, rng):
+        S = 8
+        return self.blip.init(
+            rng,
+            jnp.zeros((1, self.blip_cfg.image_size,
+                       self.blip_cfg.image_size, 3)),
+            jnp.zeros((1, S), jnp.int32),
+            jnp.ones((1, S), jnp.int32),
+            jnp.zeros((1, S), jnp.int32),
+        )
+
+    @staticmethod
+    def _share_base_unet(d_params, g_params):
+        """Copy the generator's frozen UNet base weights into D (skip
+        LoRA — D trains its own)."""
+        import jax.tree_util as jtu
+
+        def cp(path, d_leaf):
+            keys = tuple(
+                str(getattr(p, "key", getattr(p, "name", p))) for p in path
+            )
+            if any(k.startswith("lora_") for k in keys):
+                return d_leaf
+            try:
+                node = g_params["unet"]
+                for k in keys:
+                    node = node[k]
+                return node if node.shape == d_leaf.shape else d_leaf
+            except (KeyError, TypeError):
+                return d_leaf
+
+        d_params = dict(d_params)
+        d_params["unet"] = jtu.tree_map_with_path(cp, d_params["unet"])
+        return d_params
+
+    # ---- loop ----
+    def train(self):
+        args = self.args
+        steps_per_epoch = max(len(self.dataset), 1)
+        num_epochs = max(
+            1, -(-args.max_train_steps // steps_per_epoch)
+        )
+        self.logger.info(
+            "training: %d steps, %d/epoch, %d epochs, mesh %s",
+            args.max_train_steps, steps_per_epoch, num_epochs,
+            dict(zip(self.mesh.axis_names, self.mesh.devices.shape)),
+        )
+        rng = self.rng
+        for epoch in range(num_epochs):
+            for prompts in self.dataset.epoch(epoch):
+                if self.global_step >= args.max_train_steps:
+                    return
+                if args.batch_repeat > 1:
+                    prompts = list(prompts) * args.batch_repeat
+                batch = assemble_batch(
+                    prompts, self.clip_tok, self.caption_tok,
+                    max_length=self.pcfg.text.max_length,
+                    latent_store=self.latent_store,
+                    clip_tokenizer2=None,
+                )
+                if self.seg_holder is not None:
+                    from comat_tpu.training.attrcon import attrcon_batch_fields
+
+                    batch.update(attrcon_batch_fields(
+                        prompts, self.clip_tok, self.seg_holder,
+                        self.pcfg.text.max_length,
+                    ))
+                if self.disc is not None and "gt_latents" not in batch:
+                    # GAN without a latent store: zeros as GT (smoke
+                    # mode only; real runs pass --gan_gt_path)
+                    s = self.pcfg.latent_size
+                    batch["gt_latents"] = np.zeros(
+                        (len(prompts), s, s, 4), np.float32
+                    )
+                sbatch = shard_batch(batch, self.mesh)
+                rng, step_rng = jax.random.split(rng)
+                self.state, self.d_state, m = self.train_step(
+                    self.state, self.frozen, self.blip_params, sbatch,
+                    step_rng, self.d_state, self.d_frozen,
+                )
+                self.global_step += 1
+                dt = self.timer.tick()
+                if self.global_step % 10 == 1 or dt > 0:
+                    host_m = {k: float(v) for k, v in m.items()}
+                    host_m["sec_per_step"] = dt
+                    if dt > 0:
+                        host_m["images_per_sec"] = (
+                            len(prompts) * jax.process_count() / dt
+                        )
+                    self.metrics.log(host_m, self.global_step)
+                    self.logger.info(
+                        "step %d: loss=%.4f reward=%.4f",
+                        self.global_step, host_m.get("step_loss", 0.0),
+                        host_m.get("reward_blip", 0.0),
+                    )
+                if (
+                    args.validation_steps
+                    and self.global_step % args.validation_steps == 0
+                ):
+                    self.save_and_evaluate()
+        self.save_and_evaluate()
+
+    def save_and_evaluate(self):
+        """Checkpoint + validation images (reference
+        training_script.py:382-494)."""
+        args = self.args
+        if jax.process_index() == 0:
+            path = ckpt_lib.save_checkpoint(
+                args.output_dir, self.global_step, self.state,
+                self.d_state, self.rng,
+                total_limit=args.checkpoints_total_limit,
+            )
+            ckpt_lib.export_lora_safetensors(
+                os.path.join(path, "lora_weights.safetensors"),
+                jax.device_get(self.state.trainable),
+            )
+            self.logger.info("saved checkpoint %s", path)
+        if args.validation_prompts:
+            self._validate()
+        # sync all hosts before continuing (reference wait_for_everyone)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("checkpoint")
+
+    def _validate(self):
+        args = self.args
+        prompts = load_prompts(args.validation_prompts)[:4]
+        from comat_tpu.training.train_step import merge_params
+
+        params = merge_params(
+            jax.device_get(self.state.trainable),
+            jax.device_get(self.frozen),
+        )
+        enc = self.clip_tok(prompts, max_length=self.pcfg.text.max_length)
+        null = self.clip_tok([""] * len(prompts),
+                             max_length=self.pcfg.text.max_length)
+        # seeded generator for reproducible validation images
+        # (reference :465)
+        rng = jax.random.PRNGKey(args.seed or 0)
+        images = self.pipeline.generate(
+            params, rng,
+            jnp.asarray(enc["input_ids"]),
+            jnp.asarray(null["input_ids"]),
+            num_inference_steps=min(args.total_step, 25),
+            guidance_scale=args.cfg_scale,
+            eos_positions=jnp.asarray(enc["eos_positions"]),
+        )
+        self.metrics.log_images("validation", np.asarray(images),
+                                self.global_step)

@@ -1,0 +1,53 @@
+"""End-to-end attribute-concentration train step on tiny models:
+capture -> host segmenter callback -> grounding losses -> grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from comat_tpu.segmentation.interface import (
+    CenterPriorSegmenter,
+    SegmenterHolder,
+)
+from comat_tpu.training.attrcon import (
+    attrcon_batch_fields,
+    make_attrcon_extra_losses,
+)
+from comat_tpu.training.train_step import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from comat_tpu.text.tokenizer import HashTokenizer
+from tests.test_train_step import _build
+
+
+def test_attrcon_train_step():
+    pipe, blip, params, blip_params, batch, tcfg = _build(2)
+    # switch on attrcon
+    tcfg = type(tcfg)(**{**tcfg.__dict__, "attrcon": True,
+                         "attrcon_train_steps": 2})
+    # the tiny pipeline was built without attrcon; enable capture layers
+    import dataclasses
+
+    pipe.cfg = dataclasses.replace(pipe.cfg, attrcon=True)
+
+    holder = SegmenterHolder(CenterPriorSegmenter(), max_words=4)
+    tok = HashTokenizer(1000)
+    prompts = ["a red car and a blue bird", "two cats on a mat"]
+    batch = dict(batch)
+    batch.update(attrcon_batch_fields(prompts, tok, holder, 77))
+
+    extra = make_attrcon_extra_losses(pipe, holder, tcfg)
+    opt = make_optimizer(tcfg)
+    state, frozen = init_train_state(params, tcfg, opt)
+    step = jax.jit(make_train_step(pipe, blip, tcfg, opt, extra_losses=extra))
+
+    state2, _, metrics = step(
+        state, frozen, blip_params, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["token_loss"]))
+    assert np.isfinite(float(metrics["pixel_loss"]))
+    assert np.isfinite(float(metrics["step_loss"]))
+    assert float(metrics["token_loss"]) > 0
+    assert float(metrics["pixel_loss"]) > 0
