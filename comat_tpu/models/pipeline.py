@@ -94,7 +94,9 @@ def make_pipeline_config(
     if name.startswith("sdxl"):
         if tiny:
             return PipelineConfig(
-                unet=UNetConfig.tiny_xl(),
+                # context = concat of both encoders (32 + 32), like the
+                # real 768 + 1280 = 2048
+                unet=UNetConfig.tiny_xl(cross_attention_dim=64),
                 text=CLIPTextConfig.tiny(),
                 vae=VAEConfig.tiny(),
                 text2=CLIPTextConfig.tiny(),

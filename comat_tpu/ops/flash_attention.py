@@ -127,7 +127,11 @@ def _flash_fwd_lse_kernel(
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    # TPU tiling: (1, bq) blocks are illegal (sublane dim must be
+    # divisible by 8) — broadcast the row stats across 8 sublanes.
+    lse_ref[0] = jnp.broadcast_to(
+        (m + jnp.log(l))[:, 0][None, :], lse_ref.shape[1:]
+    )
 
 
 def _flash_bwd_dq_kernel(
@@ -136,8 +140,8 @@ def _flash_bwd_dq_kernel(
 ):
     q = q_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]   # (bq, 1)
-    dvec = dvec_ref[0][:, None]
+    lse = lse_ref[0, 0][:, None]   # (bq, 1)
+    dvec = dvec_ref[0, 0][:, None]
     bq, d = q.shape
     skv = k_ref.shape[1]
     num_kv = skv // block_kv
@@ -190,8 +194,8 @@ def _flash_bwd_dkv_kernel(
         dk_acc, dv_acc = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :]
         do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        dvec = dvec_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        dvec = dvec_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         logits = (
             jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -312,7 +316,10 @@ def _pad_bhsd(x, s_pad, d_pad):
 
 
 def _blocks(Sq, Skv, d):
-    d_pad = _round_up(d, 128)
+    # No blocking over d: a block dim equal to the full array dim is
+    # always legal, so keep d unpadded (lane padding happens inside the
+    # MXU) except for tiny dims where an 8-multiple helps Mosaic.
+    d_pad = d if d % 8 == 0 else _round_up(d, 8)
     block_q = min(512, _round_up(Sq, 8))
     block_kv = min(512, _round_up(Skv, 128))
     return d_pad, block_q, block_kv, _round_up(Sq, block_q), _round_up(
@@ -335,7 +342,7 @@ def _fwd_lse(q, k, v):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * H, sq_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((B * H, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, 8, sq_pad), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -349,7 +356,7 @@ def _fwd_lse(q, k, v):
         out_specs=(
             pl.BlockSpec((1, bq, d_pad), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i),
+            pl.BlockSpec((1, 8, bq), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ),
     )(qf, kf, vf)
@@ -376,10 +383,12 @@ def _flash_diff_bwd(res, g):
     scale = 1.0 / (d ** 0.5)
     d_pad, bq, bkv, sq_pad, skv_pad = _blocks(Sq, Skv, d)
     gf = _pad_bhsd(g, sq_pad, d_pad)
-    # dvec = rowsum(dO * O) in fp32 (padded rows contribute zero)
+    # dvec = rowsum(dO * O) in fp32 (padded rows contribute zero),
+    # broadcast across 8 sublanes like lse (TPU block tiling)
     dvec = jnp.sum(
         gf.astype(jnp.float32) * out_pad.astype(jnp.float32), axis=-1
     )
+    dvec = jnp.broadcast_to(dvec[:, None, :], (dvec.shape[0], 8, dvec.shape[1]))
 
     dq = pl.pallas_call(
         functools.partial(
@@ -396,9 +405,9 @@ def _flash_diff_bwd(res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d_pad), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i),
+            pl.BlockSpec((1, 8, bq), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i),
+            pl.BlockSpec((1, 8, bq), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, i: (b, i, 0),
@@ -423,9 +432,9 @@ def _flash_diff_bwd(res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sq_pad, d_pad), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq_pad), lambda b, j: (b, 0),
+            pl.BlockSpec((1, 8, sq_pad), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq_pad), lambda b, j: (b, 0),
+            pl.BlockSpec((1, 8, sq_pad), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

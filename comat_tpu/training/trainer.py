@@ -106,7 +106,20 @@ class Trainer:
             self.clip_tok = HashTokenizer(self.pcfg.text.vocab_size)
             self.caption_tok = HashTokenizer(self.blip_cfg.vocab_size)
         else:
-            self.clip_tok = load_clip_tokenizer(args.tokenizer_dir)
+            self.clip_tok = None
+            if args.tokenizer_dir:
+                try:
+                    from comat_tpu.native_host import NativeCLIPTokenizer
+
+                    self.clip_tok = NativeCLIPTokenizer(
+                        os.path.join(args.tokenizer_dir, "vocab.json"),
+                        os.path.join(args.tokenizer_dir, "merges.txt"),
+                    )
+                    self.logger.info("using native CLIP tokenizer")
+                except Exception:
+                    pass
+            if self.clip_tok is None:
+                self.clip_tok = load_clip_tokenizer(args.tokenizer_dir)
             if args.blip_tokenizer_vocab:
                 from comat_tpu.text.tokenizer import BertWordPieceTokenizer
 
@@ -195,7 +208,20 @@ class Trainer:
                 d_params, self.d_optimizer
             )
             if args.gan_gt_path:
-                self.latent_store = GanLatentStore(args.gan_gt_path)
+                # prefer the native C++ prefetching store
+                try:
+                    from comat_tpu.native_host import NativeLatentStore
+
+                    self.latent_store = NativeLatentStore(
+                        args.gan_gt_path,
+                        latent_elems=self.pcfg.latent_size ** 2 * 4,
+                    )
+                    self.logger.info("using native latent store")
+                except Exception as e:
+                    self.logger.info(
+                        "native latent store unavailable (%s); python", e
+                    )
+                    self.latent_store = GanLatentStore(args.gan_gt_path)
 
         # mesh (before data: batch sizing depends on the data axis)
         n = jax.device_count()
@@ -271,6 +297,7 @@ class Trainer:
         )
         self.metrics = MetricsWriter(args.output_dir, args.logging_dir)
         self.timer = StepTimer()
+        self._pending_metrics = None
 
     # ---- weights ----
     def _maybe_load_pretrained(self, params):
@@ -372,20 +399,27 @@ class Trainer:
                     step_rng, self.d_state, self.d_frozen,
                 )
                 self.global_step += 1
-                dt = self.timer.tick()
-                if self.global_step % 10 == 1 or dt > 0:
-                    host_m = {k: float(v) for k, v in m.items()}
+                # Pipelining: metrics of the PREVIOUS step are fetched
+                # here, after the next step has been dispatched — the
+                # host never blocks the device on logging.
+                if self._pending_metrics is not None:
+                    pstep, pm, pbs = self._pending_metrics
+                    dt = self.timer.tick()
+                    host_m = {k: float(v) for k, v in pm.items()}
                     host_m["sec_per_step"] = dt
                     if dt > 0:
                         host_m["images_per_sec"] = (
-                            len(prompts) * jax.process_count() / dt
+                            pbs * jax.process_count() / dt
                         )
-                    self.metrics.log(host_m, self.global_step)
+                    self.metrics.log(host_m, pstep)
                     self.logger.info(
                         "step %d: loss=%.4f reward=%.4f",
-                        self.global_step, host_m.get("step_loss", 0.0),
+                        pstep, host_m.get("step_loss", 0.0),
                         host_m.get("reward_blip", 0.0),
                     )
+                else:
+                    self.timer.tick()
+                self._pending_metrics = (self.global_step, m, len(prompts))
                 if (
                     args.validation_steps
                     and self.global_step % args.validation_steps == 0

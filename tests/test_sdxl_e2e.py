@@ -1,0 +1,100 @@
+"""SDXL-topology end-to-end: dual text encoders, pooled embeds,
+add_time_ids micro-conditioning, GAN with added conditioning
+(reference: TrainableSDPipeline.py:427-848, gan_sdxl.py:158-325)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from comat_tpu.config import BLIPConfig
+from comat_tpu.models.blip import BLIPCaptioner
+from comat_tpu.models.pipeline import DiffusionPipeline, make_pipeline_config
+from comat_tpu.losses.caption_reward import build_caption_batch
+from comat_tpu.losses.gan import Discriminator, GanConfig
+from comat_tpu.text.tokenizer import HashTokenizer
+from comat_tpu.training.train_step import (
+    TrainConfig,
+    init_disc_state,
+    init_train_state,
+    make_d_optimizer,
+    make_optimizer,
+    make_train_step,
+)
+
+RES = 64
+
+
+def test_sdxl_train_step_with_gan():
+    pcfg = make_pipeline_config("sdxl", lora_rank=4, resolution=RES, tiny=True)
+    pipe = DiffusionPipeline(pcfg)
+    blip = BLIPCaptioner(BLIPConfig.tiny())
+    k = jax.random.PRNGKey(0)
+    params = pipe.init_params(k)
+
+    B = 2
+    tok = HashTokenizer(1000)
+    prompts = ["a red car and a blue bird", "two cats on a mat"]
+    enc = tok(prompts, max_length=pcfg.text.max_length)
+    null = tok([""] * B, max_length=pcfg.text.max_length)
+    cap = build_caption_batch(tok, prompts)
+    S = 24
+    pad = lambda a, v: np.pad(a, ((0, 0), (0, S - a.shape[1])),
+                              constant_values=v)
+    batch = {
+        "input_ids": jnp.asarray(enc["input_ids"]),
+        "input_ids2": jnp.asarray(enc["input_ids"]),
+        "eos_positions": jnp.asarray(enc["eos_positions"]),
+        "null_ids": jnp.asarray(null["input_ids"]),
+        "caption_ids": jnp.asarray(pad(cap["input_ids"], 0)),
+        "caption_mask": jnp.asarray(pad(cap["attention_mask"], 0)),
+        "caption_labels": jnp.asarray(pad(cap["labels"], -100)),
+        "gt_latents": jax.random.normal(k, (B, RES // 8, RES // 8, 4)),
+    }
+    blip_params = blip.init(
+        k, jnp.zeros((1, 64, 64, 3)), batch["caption_ids"][:1],
+        batch["caption_mask"][:1], batch["caption_labels"][:1],
+    )
+    tcfg = TrainConfig(total_step=10, K=3, resolution=RES, gan_loss=True)
+    opt = make_optimizer(tcfg)
+    state, frozen = init_train_state(params, tcfg, opt)
+
+    disc = Discriminator(pcfg.unet, GanConfig(lora_rank=4))
+    pooled_dim = pcfg.text2.projection_dim or pcfg.text2.hidden_size
+    d_params = disc.init_params(
+        jax.random.fold_in(k, 5), latent_size=RES // 8,
+        context_dim=pcfg.unet.cross_attention_dim,
+        context_len=pcfg.text.max_length,
+        added_cond={"text_embeds": jnp.zeros((1, pooled_dim)),
+                    "time_ids": jnp.zeros((1, 6))},
+    )
+    d_opt = make_d_optimizer(tcfg)
+    d_state, d_frozen = init_disc_state(d_params, d_opt)
+
+    step = jax.jit(
+        make_train_step(pipe, blip, tcfg, opt, disc=disc, d_optimizer=d_opt)
+    )
+    state2, d_state2, metrics = step(
+        state, frozen, blip_params, batch, jax.random.PRNGKey(1),
+        d_state, d_frozen,
+    )
+    for key in ["step_loss", "G_loss", "D_loss", "reward_blip"]:
+        assert np.isfinite(float(metrics[key])), key
+    assert int(state2.step) == 1
+
+
+def test_sdxl_generate_inference():
+    pcfg = make_pipeline_config("sdxl", lora_rank=0, resolution=RES, tiny=True)
+    pipe = DiffusionPipeline(pcfg)
+    k = jax.random.PRNGKey(0)
+    params = pipe.init_params(k)
+    tok = HashTokenizer(1000)
+    enc = tok(["a cat"], max_length=pcfg.text.max_length)
+    null = tok([""], max_length=pcfg.text.max_length)
+    img = pipe.generate(
+        params, k, jnp.asarray(enc["input_ids"]),
+        jnp.asarray(null["input_ids"]),
+        num_inference_steps=5,
+        eos_positions=jnp.asarray(enc["eos_positions"]),
+    )
+    assert img.shape == (1, RES, RES, 3)
+    assert np.isfinite(np.asarray(img)).all()
