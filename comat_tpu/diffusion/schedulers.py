@@ -221,3 +221,71 @@ def add_noise(
         noise.astype(jnp.float32)
     )
     return out.astype(sample.dtype)
+
+
+def sample_dpmpp_2m(
+    eps_model,
+    schedule: DiffusionSchedule,
+    num_inference_steps: int,
+    latents0: jnp.ndarray,
+    steps_offset: int = 1,
+):
+    """DPM-Solver++ 2M inference sampling (deterministic).
+
+    The reference swaps in diffusers DPMSolverMultistepScheduler for
+    validation image dumps (training_script.py:428-454). This is the
+    algorithm="dpmsolver++", solver_order=2, epsilon-prediction variant
+    as a single `lax.scan`: data-prediction updates
+        x_{i+1} = (s_{i+1}/s_i) x - a_{i+1} (e^{-h} - 1) D
+    with the 2M correction D = (1 + 1/2r) x0_i - (1/2r) x0_{i-1}.
+    """
+    T = schedule.num_train_timesteps
+    acp = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+    ts = inference_timesteps(num_inference_steps, T, steps_offset)
+    alpha = np.sqrt(acp[ts])
+    sigma = np.sqrt(1.0 - acp[ts])
+    lam = np.log(alpha) - np.log(sigma)
+    # Terminal boundary (alpha->1, sigma->0) is singular: the final
+    # update returns pred_x0 directly (diffusers' lower_order_final /
+    # sigma_min behaviour).
+    S = len(ts)
+    timesteps = jnp.asarray(ts, jnp.int32)
+    alpha_j = jnp.asarray(alpha, jnp.float32)
+    sigma_j = jnp.asarray(sigma, jnp.float32)
+    lam_j = jnp.asarray(lam, jnp.float32)
+
+    def x0_of(x, eps, i):
+        return (x - sigma_j[i] * eps) / alpha_j[i]
+
+    def body(carry, i):
+        x, x0_prev, lam_prev, have_prev = carry
+        eps, _ = eps_model(x, timesteps[i], False)
+        eps = eps.astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        x0 = x0_of(x, eps, i)
+        is_last = i == S - 1
+
+        def final(_):
+            return x0  # terminal: alpha->1, sigma->0
+
+        def mid(_):
+            h = lam_j[i + 1] - lam_j[i]
+            r = (lam_j[i] - lam_prev) / h
+            d2 = x0 + (x0 - x0_prev) / (2.0 * r)
+            d = jnp.where(have_prev, d2, x0)
+            return (
+                sigma_j[i + 1] / sigma_j[i] * x
+                - alpha_j[i + 1] * (jnp.exp(-h) - 1.0) * d
+            )
+
+        x_next = jax.lax.cond(is_last, final, mid, None)
+        return (x_next, x0, lam_j[i], jnp.bool_(True)), None
+
+    init = (
+        latents0.astype(jnp.float32),
+        jnp.zeros_like(latents0, jnp.float32),
+        jnp.float32(0.0),
+        jnp.bool_(False),
+    )
+    (x, _, _, _), _ = jax.lax.scan(body, init, jnp.arange(S))
+    return x.astype(latents0.dtype)

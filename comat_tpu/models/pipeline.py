@@ -368,13 +368,20 @@ class DiffusionPipeline:
             added,
             null_added,
         )
-        coeffs = make_sampler_coeffs(
-            self.schedule, num_inference_steps, kind=kind
-        )
         if latents0 is None:
             rng, lrng = jax.random.split(rng)
             latents0 = prepare_latents(lrng, B, cfg.resolution, cfg.resolution)
-        latents, _, _ = sample_inference(eps_model, coeffs, latents0, rng)
+        if kind in ("dpmpp", "dpm++", "DPM++"):
+            from comat_tpu.diffusion.schedulers import sample_dpmpp_2m
+
+            latents = sample_dpmpp_2m(
+                eps_model, self.schedule, num_inference_steps, latents0
+            )
+        else:
+            coeffs = make_sampler_coeffs(
+                self.schedule, num_inference_steps, kind=kind
+            )
+            latents, _, _ = sample_inference(eps_model, coeffs, latents0, rng)
         if output_type == "latent":
             return latents
         return jnp.clip(self.decode_image(params, latents), 0.0, 1.0)

@@ -1,0 +1,122 @@
+"""Grounded-SAM segmenter: GroundingDetector boxes + FastSAM masks.
+
+Composition mirroring the reference GsamSegModel.get_mask
+(attr_concen_utils/gsam_interface.py:54-137): detect boxes for
+' . '.join(nouns), select mask proposals by box prompt, union per noun;
+undetected nouns yield all-zero masks (:132-133). Implements the
+SegmenterHolder protocol (segmentation/interface.py), so it plugs into
+the training loop's pure_callback bridge unchanged.
+
+Both models run jitted on device from inside the host callback (frozen,
+no gradients). With random weights the masks are noise — weight import
+(FastSAM-x .pt, GroundingDINO swin-t checkpoint) is the remaining
+parity step, tracked for the next round.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from comat_tpu.segmentation.fastsam import (
+    YoloSegConfig,
+    YoloV8Seg,
+    box_prompt_masks,
+    decode_predictions,
+)
+from comat_tpu.segmentation.gdino import (
+    GDinoConfig,
+    GroundingDetector,
+    cxcywh_to_xyxy,
+    ground_nouns,
+)
+
+
+class GroundedSAMSegmenter:
+    def __init__(
+        self,
+        sam_cfg: Optional[YoloSegConfig] = None,
+        gdino_cfg: Optional[GDinoConfig] = None,
+        tokenizer=None,
+        rng=None,
+        sam_params=None,
+        gdino_params=None,
+        image_size: int = 512,
+        box_threshold: float = 0.3,
+        text_threshold: float = 0.25,
+    ):
+        from comat_tpu.text.tokenizer import HashTokenizer
+
+        self.sam_cfg = sam_cfg or YoloSegConfig.fastsam_x()
+        self.gdino_cfg = gdino_cfg or GDinoConfig()
+        self.tokenizer = tokenizer or HashTokenizer(
+            self.gdino_cfg.text_vocab
+        )
+        self.box_threshold = box_threshold
+        self.text_threshold = text_threshold
+        self.sam = YoloV8Seg(self.sam_cfg)
+        self.gdino = GroundingDetector(self.gdino_cfg)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        img = jnp.zeros((1, image_size, image_size, 3))
+        ids = jnp.zeros((1, self.gdino_cfg.max_text_len), jnp.int32)
+        mask = jnp.ones((1, self.gdino_cfg.max_text_len), bool)
+        self.sam_params = sam_params or self.sam.init(rng, img)
+        self.gdino_params = gdino_params or self.gdino.init(
+            jax.random.fold_in(rng, 1), img, ids, mask
+        )
+        self._sam_apply = jax.jit(self.sam.apply)
+        self._gdino_apply = jax.jit(self.gdino.apply)
+
+    def _tokenize_nouns(self, nouns: Sequence[str]):
+        """' . '-joined caption + per-noun token spans
+        (gsam_interface.py:92-100)."""
+        text = " . ".join(nouns)
+        ids = self.tokenizer.tokenize(text)
+        spans = []
+        pos = 0
+        for noun in nouns:
+            n_toks = len(self.tokenizer.tokenize(noun))
+            spans.append((pos, pos + n_toks))
+            pos += n_toks + 1  # the ' . ' separator token
+        L = self.gdino_cfg.max_text_len
+        ids = (ids + [0] * L)[:L]
+        mask = [i < min(pos, L) for i in range(L)]
+        return (
+            np.asarray([ids], np.int32),
+            np.asarray([mask], bool),
+            spans,
+        )
+
+    def __call__(self, image01: np.ndarray, nouns: Sequence[str]) -> List[np.ndarray]:
+        H, W, _ = image01.shape
+        if not nouns:
+            return []
+        img = jnp.asarray(image01, jnp.float32)[None]
+        ids, tmask, spans = self._tokenize_nouns(nouns)
+        boxes, token_logits = self._gdino_apply(
+            self.gdino_params, img, jnp.asarray(ids), jnp.asarray(tmask)
+        )
+        grounded = ground_nouns(
+            np.asarray(boxes[0], np.float32),
+            np.asarray(token_logits[0], np.float32),
+            spans, self.box_threshold, self.text_threshold,
+        )
+        outs, protos = self._sam_apply(self.sam_params, img)
+        proposals = decode_predictions(outs, protos, self.sam_cfg)[0]
+
+        masks: List[np.ndarray] = []
+        for ni in range(len(nouns)):
+            if ni not in grounded:
+                masks.append(np.zeros((H, W), np.float32))
+                continue
+            union = np.zeros((H, W), np.float32)
+            for box in grounded[ni]:
+                xyxy = cxcywh_to_xyxy(box, W, H)
+                union = np.maximum(
+                    union, box_prompt_masks(proposals, xyxy, (H, W))
+                )
+            masks.append(union)
+        return masks

@@ -1,0 +1,56 @@
+"""GroundingDetector + composed Grounded-SAM segmenter (tiny, random
+weights: structural + protocol tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from comat_tpu.segmentation.gdino import (
+    GDinoConfig,
+    GroundingDetector,
+    ground_nouns,
+)
+from comat_tpu.segmentation.grounded_sam import GroundedSAMSegmenter
+from comat_tpu.segmentation.fastsam import YoloSegConfig
+
+
+def test_grounding_detector_shapes():
+    cfg = GDinoConfig.tiny()
+    model = GroundingDetector(cfg)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    ids = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    mask = jnp.ones((1, cfg.max_text_len), bool)
+    params = model.init(jax.random.PRNGKey(1), img, ids, mask)
+    boxes, logits = model.apply(params, img, ids, mask)
+    assert boxes.shape == (1, cfg.num_queries, 4)
+    assert logits.shape == (1, cfg.num_queries, cfg.max_text_len)
+    b = np.asarray(boxes)
+    assert (b >= 0).all() and (b <= 1).all()
+
+
+def test_ground_nouns_assignment():
+    boxes = np.array([[0.5, 0.5, 0.2, 0.2], [0.2, 0.2, 0.1, 0.1]])
+    logits = np.full((2, 6), -10.0)
+    logits[0, 0] = 3.0   # box 0 -> tokens of noun 0 (span 0..2)
+    logits[1, 3] = 3.0   # box 1 -> noun 1 (span 3..5)
+    out = ground_nouns(boxes, logits, [(0, 2), (3, 5)])
+    assert set(out.keys()) == {0, 1}
+    np.testing.assert_allclose(out[0][0], boxes[0])
+    # below box threshold: dropped
+    out2 = ground_nouns(boxes, np.full((2, 6), -10.0), [(0, 2), (3, 5)])
+    assert out2 == {}
+
+
+def test_grounded_sam_protocol():
+    seg = GroundedSAMSegmenter(
+        sam_cfg=YoloSegConfig.tiny(),
+        gdino_cfg=GDinoConfig.tiny(),
+        image_size=64,
+        box_threshold=0.0,   # random weights: accept everything
+        text_threshold=0.0,
+    )
+    img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    masks = seg(img, ["car", "bird"])
+    assert len(masks) == 2
+    assert masks[0].shape == (64, 64)
+    assert seg(img, []) == []

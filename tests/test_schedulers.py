@@ -123,3 +123,25 @@ def test_ddpm_step_is_affine():
     lhs = f(0.3 * x1 + 0.7 * x2, 0.3 * e1 + 0.7 * e2)
     rhs = 0.3 * f(x1, e1) + 0.7 * f(x2, e2)
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-5)
+
+
+def test_dpmpp_2m_converges_to_x0():
+    """With an oracle eps-model (exact noise for a known x0), DPM++ 2M
+    must recover x0 (validation-sampler sanity)."""
+    from comat_tpu.diffusion.schedulers import sample_dpmpp_2m
+
+    schedule = make_schedule()
+    acp = schedule.alphas_cumprod
+    x0_true = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 4),
+                          jnp.float32)
+
+    def eps_model(x, t, capture):
+        a = jnp.sqrt(acp[t])
+        s = jnp.sqrt(1.0 - acp[t])
+        return (x - a * x0_true) / s, {}
+
+    k = jax.random.PRNGKey(0)
+    x_T = jax.random.normal(k, x0_true.shape)
+    out = sample_dpmpp_2m(eps_model, schedule, 20, x_T)
+    err = float(jnp.abs(out - x0_true).max())
+    assert err < 5e-2, err
