@@ -302,6 +302,9 @@ def flash_attention(
             lambda b, i: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
     )(qf, kf, vf)
     return out[:, :Sq, :d].reshape(B, H, Sq, d)
@@ -359,6 +362,9 @@ def _fwd_lse(q, k, v):
             pl.BlockSpec((1, 8, bq), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
     )(qf, kf, vf)
     return out, lse, (qf, kf, vf)
 
@@ -412,6 +418,9 @@ def _flash_diff_bwd(res, g):
         ],
         out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
     )(qf, kf, vf, gf, lse, dvec)
 
     dk, dv = pl.pallas_call(
@@ -442,6 +451,9 @@ def _flash_diff_bwd(res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bkv, d_pad), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
         ),
     )(qf, kf, vf, gf, lse, dvec)
 

@@ -67,7 +67,13 @@ class PromptDataset:
 
     def epoch(self, epoch: int) -> Iterator[List[str]]:
         order = list(range(len(self.prompts)))
-        rng = random.Random(self.seed + self.process_index + epoch * 1000003)
+        # Deviation from the reference (documented): the reference
+        # shuffles with seed + process_index and lets the DDP loader
+        # stride (dataset.py:39) — different per-process orders make the
+        # strided shards OVERLAP (sampling with replacement across
+        # ranks). Here all processes share one shuffle, then stride:
+        # an exact partition, same randomness.
+        rng = random.Random(self.seed + epoch * 1000003)
         rng.shuffle(order)
         shard = order[self.process_index :: self.process_count]
         if len(shard) < self.batch_size:  # tiny corpora: tile to fill

@@ -143,7 +143,7 @@ _grad_tap.defvjp(_grad_tap_fwd, _grad_tap_bwd)
 
 
 def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             lr_schedule if lr_schedule is not None else cfg.learning_rate,
@@ -153,6 +153,14 @@ def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransfor
             weight_decay=cfg.adam_weight_decay,
         ),
     )
+    if cfg.gradient_accumulation_steps > 1:
+        # reference --gradient_accumulation_steps via accelerate
+        # accumulate() (training_script.py:556); here grads accumulate
+        # inside the optimizer, updates apply every N-th step
+        opt = optax.MultiSteps(
+            opt, every_k_schedule=cfg.gradient_accumulation_steps
+        )
+    return opt
 
 
 def init_train_state(

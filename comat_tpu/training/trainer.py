@@ -298,6 +298,7 @@ class Trainer:
         self.metrics = MetricsWriter(args.output_dir, args.logging_dir)
         self.timer = StepTimer()
         self._pending_metrics = None
+        self._profiling = False
 
     # ---- weights ----
     def _maybe_load_pretrained(self, params):
@@ -399,6 +400,20 @@ class Trainer:
                     step_rng, self.d_state, self.d_frozen,
                 )
                 self.global_step += 1
+                # jax.profiler trace of steps 4-7 (SURVEY.md §5.1: the
+                # reference has no profiling; images/sec/chip is the
+                # north-star metric here)
+                if self.args.profile_dir:
+                    if self.global_step == 4 and not self._profiling:
+                        jax.profiler.start_trace(self.args.profile_dir)
+                        self._profiling = True
+                    elif self.global_step == 8 and self._profiling:
+                        jax.block_until_ready(m["step_loss"])
+                        jax.profiler.stop_trace()
+                        self._profiling = False
+                        self.logger.info(
+                            "profile written to %s", self.args.profile_dir
+                        )
                 # Pipelining: metrics of the PREVIOUS step are fetched
                 # here, after the next step has been dispatched — the
                 # host never blocks the device on logging.
