@@ -116,9 +116,12 @@ def sample_comat(
     )
 
     # ---- pass 2: differentiable replay ----
+    # Full remat per trained-step UNet call: the backward recomputes
+    # each step's forward, keeping residency at one step's activations.
+    # (A dots_saveable policy was measured to need 45GB HBM across the
+    # K-segment scan — XLA keeps all segments' saved dots live.)
     unet_step = jax.checkpoint(
         lambda x, t: eps_model(x, t, capture),
-        static_argnums=(),
     )
 
     def segment(x, p):

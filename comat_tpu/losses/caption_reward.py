@@ -95,3 +95,40 @@ def blip_caption_reward(
         blip_params, pixel_values, input_ids, attention_mask, labels
     )
     return -loss
+
+
+class RewardRegistry:
+    """Multi-reward registry (reference CaptionModelWrapper,
+    training_script.py:69-97): named caption models with weights whose
+    rewards sum into 'total'. Like the reference, only 'Blip' has an
+    implementation; additional reward models register with
+    (module, apply_fn) pairs.
+    """
+
+    def __init__(self):
+        self._models = {}
+
+    def register(self, name: str, module, weight: float,
+                 apply_fn=None) -> None:
+        self._models[name] = (module, weight, apply_fn)
+
+    @property
+    def names(self):
+        return list(self._models)
+
+    def __call__(self, params_by_name, image01, batch):
+        rewards = {}
+        total = 0.0
+        for name, (module, weight, apply_fn) in self._models.items():
+            if apply_fn is None:
+                r = blip_caption_reward(
+                    module, params_by_name[name], image01,
+                    batch["caption_ids"], batch["caption_mask"],
+                    batch["caption_labels"],
+                )
+            else:
+                r = apply_fn(module, params_by_name[name], image01, batch)
+            rewards[name] = r
+            total = total + weight * r
+        rewards["total"] = total
+        return rewards

@@ -42,10 +42,12 @@ class MetricsWriter:
         self.is_main = jax.process_index() == 0
         self.f = None
         self.tb = None
+        self._img_dir = None
         if not self.is_main:
             return
         os.makedirs(output_dir, exist_ok=True)
         self.f = open(os.path.join(output_dir, "metrics.jsonl"), "a")
+        self._img_dir = os.path.join(output_dir, "validation_images")
         try:
             from torch.utils.tensorboard import SummaryWriter  # type: ignore
 
@@ -64,17 +66,29 @@ class MetricsWriter:
             for k, v in metrics.items():
                 self.tb.add_scalar(k, float(v), step)
 
-    def log_images(self, tag: str, images, step: int) -> None:
-        """NHWC uint8/float images -> tensorboard (if available) and
-        PNG dumps (validation grids, training_script.py:485-489)."""
+    def log_images(self, tag: str, images, step: int,
+                   output_dir: Optional[str] = None) -> None:
+        """NHWC float[0,1] images -> tensorboard (if available) + PNG
+        dumps (validation grids, training_script.py:485-489)."""
         if not self.is_main:
             return
-        if self.tb is not None:
-            import numpy as np
+        import numpy as np
 
-            self.tb.add_images(
-                tag, np.asarray(images).transpose(0, 3, 1, 2), step
-            )
+        arr = np.clip(np.asarray(images, np.float32), 0, 1)
+        if self.tb is not None:
+            self.tb.add_images(tag, arr.transpose(0, 3, 1, 2), step)
+        if output_dir or self._img_dir:
+            out = output_dir or self._img_dir
+            os.makedirs(out, exist_ok=True)
+            try:
+                from PIL import Image
+
+                for i, im in enumerate((arr * 255).astype(np.uint8)):
+                    Image.fromarray(im).save(
+                        os.path.join(out, f"{tag}_{step}_{i}.png")
+                    )
+            except Exception:
+                pass
 
     def close(self):
         if self.f:

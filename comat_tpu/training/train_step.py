@@ -84,9 +84,37 @@ class DiscState(NamedTuple):
     opt_state: Any
 
 
-def partition_params(params) -> Tuple[Any, Any]:
-    """Split into (trainable, frozen) trees with None placeholders."""
-    mask = trainable_mask(params)
+def partition_params(
+    params,
+    full_finetuning: bool = False,
+    tune_vae: bool = False,
+    tune_text_encoder: bool = False,
+) -> Tuple[Any, Any]:
+    """Split into (trainable, frozen) trees with None placeholders.
+
+    Default trainable surface is LoRA (the reference's default);
+    --full_finetuning trains the whole UNet, --tune_vae / 
+    --tune_text_encoder extend the surface (reference:
+    training_utils/pipeline.py:123-188 get_trainable_parameters)."""
+    from comat_tpu.models.lora import is_lora_path
+
+    def is_trainable(path) -> bool:
+        keys = tuple(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+        if is_lora_path(keys):
+            return True
+        if full_finetuning and keys and keys[0] == "unet":
+            return True
+        if tune_vae and keys and keys[0] == "vae":
+            return True
+        if tune_text_encoder and keys and keys[0] in ("text", "text2"):
+            return True
+        return False
+
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: is_trainable(path), params
+    )
     trainable = jax.tree_util.tree_map(
         lambda m, p: p if m else None, mask, params
     )
@@ -164,10 +192,14 @@ def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransfor
 
 
 def init_train_state(
-    params, cfg: TrainConfig, optimizer: optax.GradientTransformation
+    params, cfg: TrainConfig, optimizer: optax.GradientTransformation,
+    full_finetuning: bool = False, tune_vae: bool = False,
+    tune_text_encoder: bool = False,
 ) -> Tuple[TrainState, Any]:
     """Returns (state, frozen)."""
-    trainable, frozen = partition_params(params)
+    trainable, frozen = partition_params(
+        params, full_finetuning, tune_vae, tune_text_encoder
+    )
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         trainable=trainable,
@@ -231,16 +263,19 @@ def make_train_step(
 
     t_final = int(inference_timesteps(cfg.total_step)[-1])
 
-    def null_ctx_for_d(params, batch):
+    def null_ctx_for_d(params, batch, condition: bool = False):
         # The reference computes D's null-text condition once from D's
         # own (identical-weight) text encoder (gan_sdxl.py:134-155);
-        # shared weights make it the same vector.
-        enc = pipeline.encode_prompt(params, batch["null_ids"])
+        # shared weights make it the same vector. With
+        # --condition_discriminator, the G side conditions D on the
+        # actual prompts instead (gan_sdxl.py:59-66).
+        ids = batch["input_ids"] if condition else batch["null_ids"]
+        enc = pipeline.encode_prompt(
+            params, ids, batch.get("eos_positions") if condition else None
+        )
         added = None
         if pipeline.cfg.is_sdxl:
-            added = pipeline.sdxl_added_cond(
-                enc.pooled, batch["null_ids"].shape[0]
-            )
+            added = pipeline.sdxl_added_cond(enc.pooled, ids.shape[0])
         return jax.lax.stop_gradient(enc.context), added
 
     def loss_fn(trainable, frozen, blip_params, batch, rng, d_params):
@@ -307,7 +342,10 @@ def make_train_step(
         }
 
         if disc is not None:
-            null_ctx, null_added = null_ctx_for_d(params, batch)
+            null_ctx, null_added = null_ctx_for_d(
+                params, batch,
+                condition=disc.gan_cfg.condition_discriminator,
+            )
             g_loss = gan_g_loss(
                 disc, d_params, result.latents,
                 jnp.full((result.latents.shape[0],), t_final, jnp.int32),

@@ -158,7 +158,10 @@ class Trainer:
 
         self.optimizer = make_optimizer(self.tcfg, _lr_schedule(args))
         self.state, self.frozen = init_train_state(
-            params, self.tcfg, self.optimizer
+            params, self.tcfg, self.optimizer,
+            full_finetuning=args.full_finetuning,
+            tune_vae=args.tune_vae,
+            tune_text_encoder=args.tune_text_encoder,
         )
 
         # discriminator

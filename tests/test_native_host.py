@@ -106,3 +106,23 @@ def test_native_bpe_parity(tmp_path, native_lib):
     np.testing.assert_array_equal(
         got["eos_positions"], py_batch["eos_positions"]
     )
+
+
+def test_bert_wordpiece_tokenizer(tmp_path):
+    from comat_tpu.text.tokenizer import BertWordPieceTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "photo", "photograph",
+             "##y", "of", "cat", "##s", "red"]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab) + "\n")
+    tok = BertWordPieceTokenizer(str(vp))
+    out = tok(["a photography of red cats", "a cat"])
+    ids, mask = out["input_ids"], out["attention_mask"]
+    # photography -> photograph ##y ; cats -> cat ##s
+    row = [vocab[i] for i in ids[0][mask[0] == 1]]
+    assert row == ["[CLS]", "a", "photograph", "##y", "of", "red", "cat",
+                   "##s", "[SEP]"]
+    assert mask[1].sum() == 4  # [CLS] a cat [SEP]
+    # unknown word -> [UNK]
+    out2 = tok(["zzz"])
+    assert out2["input_ids"][0][1] == 1
