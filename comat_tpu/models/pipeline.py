@@ -327,6 +327,8 @@ class DiffusionPipeline:
             eps_model, coeffs, latents0, rng, trained_idx, interval,
             capture=capture, eps_model_inference=eps_model_inf,
         )
+        # Decoder memory is handled by per-block remat inside
+        # VAEDecoder (see models/vae.py).
         image = self.decode_image(params, res.latents)
         return image, res
 

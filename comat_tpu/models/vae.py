@@ -77,16 +77,21 @@ class VAEDecoder(nn.Module):
         cfg = self.cfg
         dt = cfg.dtype
         g = cfg.norm_num_groups
+        # Per-block remat: the decoder backward's fp32 GroupNorm temps at
+        # full image resolution dominate HBM otherwise (measured 1.5GB
+        # per temp at 512^2 bs6); rematting block-by-block keeps one
+        # block's activations live during the backward.
+        Res = nn.remat(VAEResnetBlock)
         z = nn.Conv(cfg.latent_channels, (1, 1), dtype=dt,
                     name="post_quant_conv")(z.astype(dt))
         rev = tuple(reversed(cfg.block_out_channels))
         h = nn.Conv(rev[0], (3, 3), padding=1, dtype=dt, name="conv_in")(z)
-        h = VAEResnetBlock(rev[0], g, dt, name="mid_resnet_0")(h)
+        h = Res(rev[0], g, dt, name="mid_resnet_0")(h)
         h = VAEAttention(g, dt, name="mid_attn")(h)
-        h = VAEResnetBlock(rev[0], g, dt, name="mid_resnet_1")(h)
+        h = Res(rev[0], g, dt, name="mid_resnet_1")(h)
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
-                h = VAEResnetBlock(ch, g, dt, name=f"up_{i}_resnet_{j}")(h)
+                h = Res(ch, g, dt, name=f"up_{i}_resnet_{j}")(h)
             if i < len(rev) - 1:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")

@@ -20,7 +20,6 @@ compute dtype (bf16-safe).
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional, Tuple
 

@@ -169,29 +169,34 @@ class YoloV8Seg(nn.Module):
         )
         feats = [u3, d4, d5]  # strides 8, 16, 32
 
-        # proto masks from P3
-        pr = ConvBNSiLU(ch(256), 3, dtype=dt, name="proto_cv1")(u3)
-        pr = _upsample2(pr)
-        pr = ConvBNSiLU(ch(256), 3, dtype=dt, name="proto_cv2")(pr)
-        protos = nn.Conv(cfg.num_masks, (1, 1), dtype=jnp.float32,
-                         name="proto_out")(pr)  # (B, H/4, W/4, nm)
+        # proto masks from P3 (ultralytics Proto: cv1 -> ConvTranspose
+        # k2s2 -> cv2 -> cv3; widths/ops match for weight import)
+        cp = ch(256)
+        pr = ConvBNSiLU(cp, 3, dtype=dt, name="proto_cv1")(u3)
+        pr = nn.ConvTranspose(cp, (2, 2), strides=(2, 2), dtype=dt,
+                              name="proto_up")(pr)
+        pr = ConvBNSiLU(cp, 3, dtype=dt, name="proto_cv2")(pr)
+        protos = ConvBNSiLU(cfg.num_masks, 1, dtype=dt,
+                            name="proto_cv3")(pr).astype(jnp.float32)
 
+        # Segment head widths per ultralytics: derived from the FIRST
+        # level's channels for all levels
+        ch0 = feats[0].shape[-1]
+        c2 = max(16, ch0 // 4, cfg.reg_max * 4)
+        c3 = max(ch0, min(cfg.num_classes, 100))
+        c4 = max(ch0 // 4, cfg.num_masks)
         outs = []
         for i, f in enumerate(feats):
-            box = ConvBNSiLU(max(64, f.shape[-1] // 4), 3, dtype=dt,
-                             name=f"box{i}_cv1")(f)
-            box = ConvBNSiLU(max(64, f.shape[-1] // 4), 3, dtype=dt,
-                             name=f"box{i}_cv2")(box)
+            box = ConvBNSiLU(c2, 3, dtype=dt, name=f"box{i}_cv1")(f)
+            box = ConvBNSiLU(c2, 3, dtype=dt, name=f"box{i}_cv2")(box)
             box = nn.Conv(4 * cfg.reg_max, (1, 1), dtype=jnp.float32,
                           name=f"box{i}_out")(box)
-            cls = ConvBNSiLU(max(80, f.shape[-1] // 4), 3, dtype=dt,
-                             name=f"cls{i}_cv1")(f)
-            cls = ConvBNSiLU(max(80, f.shape[-1] // 4), 3, dtype=dt,
-                             name=f"cls{i}_cv2")(cls)
+            cls = ConvBNSiLU(c3, 3, dtype=dt, name=f"cls{i}_cv1")(f)
+            cls = ConvBNSiLU(c3, 3, dtype=dt, name=f"cls{i}_cv2")(cls)
             cls = nn.Conv(cfg.num_classes, (1, 1), dtype=jnp.float32,
                           name=f"cls{i}_out")(cls)
-            mc = ConvBNSiLU(max(32, f.shape[-1] // 4), 3, dtype=dt,
-                            name=f"mc{i}_cv1")(f)
+            mc = ConvBNSiLU(c4, 3, dtype=dt, name=f"mc{i}_cv1")(f)
+            mc = ConvBNSiLU(c4, 3, dtype=dt, name=f"mc{i}_cv2")(mc)
             mc = nn.Conv(cfg.num_masks, (1, 1), dtype=jnp.float32,
                          name=f"mc{i}_out")(mc)
             outs.append({"box": box, "cls": cls, "mc": mc})

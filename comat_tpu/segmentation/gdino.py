@@ -20,7 +20,7 @@ gsam_interface.py:54 wraps everything in no_grad).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,7 @@ Implementations:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ stable ids, no vocab files needed.
 from __future__ import annotations
 
 import functools
-import gzip
 import html
 import json
 import os

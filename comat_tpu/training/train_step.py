@@ -327,11 +327,13 @@ def make_train_step(
         )
         tapped = _grad_tap(cropped, factor)
 
-        reward = blip_caption_reward(
-            blip_module, blip_params, tapped,
-            batch["caption_ids"], batch["caption_mask"],
-            batch["caption_labels"],
-        )
+        reward = jax.checkpoint(
+            lambda bp, img: blip_caption_reward(
+                blip_module, bp, img,
+                batch["caption_ids"], batch["caption_mask"],
+                batch["caption_labels"],
+            )
+        )(blip_params, tapped)
         total_reward = cfg.reward_weight * reward
         loss = -total_reward  # training_script.py:618
 

@@ -51,3 +51,53 @@ def test_nms():
     scores = np.array([0.9, 0.8, 0.7], np.float32)
     keep = _nms(boxes, scores, iou=0.5)
     assert list(keep) == [0, 2]
+
+
+def test_fastsam_weight_mapping_coverage():
+    """Every param/batch_stat leaf maps to an ultralytics name, and a
+    synthetic state dict round-trips values."""
+    from comat_tpu.segmentation.weights_import import (
+        fastsam_hf_name, load_fastsam_params,
+    )
+
+    cfg = YoloSegConfig.tiny()
+    model = YoloV8Seg(cfg)
+    img = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), img)
+
+    # coverage: every leaf maps, names unique per collection
+    state = {}
+    rng = np.random.RandomState(0)
+    for coll in ("params", "batch_stats"):
+        names = set()
+        flat = jax.tree_util.tree_flatten_with_path(variables[coll])[0]
+        for path, leaf in flat:
+            keys = tuple(
+                str(getattr(q, "key", getattr(q, "name", q))) for q in path
+            )
+            res = fastsam_hf_name(keys, coll)
+            assert res is not None, f"{coll}: unmapped {'/'.join(keys)}"
+            name, f = res
+            assert name not in names, f"dup {name}"
+            names.add(name)
+            # invert layout for synthetic source tensor
+            shp = leaf.shape
+            if f.__name__ == "_conv":
+                src = rng.randn(shp[3], shp[2], shp[0], shp[1])
+            elif f.__name__ == "_convT":
+                src = rng.randn(shp[2], shp[3], shp[0], shp[1])
+            else:
+                src = rng.randn(*shp)
+            if name.endswith("running_var"):
+                src = np.abs(src) + 0.1
+            state[name] = src.astype(np.float32)
+
+    loaded, missing = load_fastsam_params(state, variables)
+    assert not missing, missing[:5]
+    # spot value check: stem conv kernel
+    got = np.asarray(loaded["params"]["stem"]["conv"]["kernel"])
+    want = np.transpose(state["model.model.0.conv.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want)
+    # outputs still computable
+    outs, protos = model.apply(loaded, img)
+    assert np.isfinite(np.asarray(protos)).all()

@@ -98,3 +98,58 @@ def test_sdxl_generate_inference():
     )
     assert img.shape == (1, RES, RES, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sdxl_attrcon_train_step():
+    """SDXL + attribute concentration: capture at SDXL layer keys,
+    grounding loss through the host segmenter bridge."""
+    import dataclasses
+    from comat_tpu.segmentation.interface import (
+        CenterPriorSegmenter, SegmenterHolder,
+    )
+    from comat_tpu.training.attrcon import (
+        attrcon_batch_fields, make_attrcon_extra_losses,
+    )
+    from comat_tpu.training.train_step import init_train_state, make_optimizer
+
+    pcfg = make_pipeline_config(
+        "sdxl_attrcon", lora_rank=4, resolution=RES, tiny=True
+    )
+    pipe = DiffusionPipeline(pcfg)
+    blip = BLIPCaptioner(BLIPConfig.tiny())
+    k = jax.random.PRNGKey(0)
+    params = pipe.init_params(k)
+    B = 2
+    tok = HashTokenizer(1000)
+    prompts = ["a red car and a blue bird", "two cats on a mat"]
+    enc = tok(prompts, max_length=pcfg.text.max_length)
+    null = tok([""] * B, max_length=pcfg.text.max_length)
+    cap = build_caption_batch(tok, prompts)
+    S = 24
+    pad = lambda a, v: np.pad(a, ((0, 0), (0, S - a.shape[1])),
+                              constant_values=v)
+    batch = {
+        "input_ids": jnp.asarray(enc["input_ids"]),
+        "eos_positions": jnp.asarray(enc["eos_positions"]),
+        "null_ids": jnp.asarray(null["input_ids"]),
+        "caption_ids": jnp.asarray(pad(cap["input_ids"], 0)),
+        "caption_mask": jnp.asarray(pad(cap["attention_mask"], 0)),
+        "caption_labels": jnp.asarray(pad(cap["labels"], -100)),
+    }
+    blip_params = blip.init(
+        k, jnp.zeros((1, 64, 64, 3)), batch["caption_ids"][:1],
+        batch["caption_mask"][:1], batch["caption_labels"][:1],
+    )
+    holder = SegmenterHolder(CenterPriorSegmenter(), max_words=4)
+    batch.update(attrcon_batch_fields(prompts, tok, holder, 77))
+    tcfg = TrainConfig(total_step=10, K=3, resolution=RES, attrcon=True,
+                       attrcon_train_steps=2)
+    extra = make_attrcon_extra_losses(pipe, holder, tcfg)
+    opt = make_optimizer(tcfg)
+    state, frozen = init_train_state(params, tcfg, opt)
+    step = jax.jit(make_train_step(pipe, blip, tcfg, opt,
+                                   extra_losses=extra))
+    _, _, metrics = step(state, frozen, blip_params, batch,
+                         jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["token_loss"]))
+    assert np.isfinite(float(metrics["pixel_loss"]))
