@@ -2,12 +2,18 @@
 finite losses, LoRA drift. Evidence that full-geometry training holds
 up beyond the 3-step bench window."""
 
+import os
+import sys
 import time
 
 import jax
 import numpy as np
 
-from bench import build
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+)
+from bench import build  # noqa: E402
 
 
 def main(steps: int = 10, batch_size: int = 4):

@@ -126,3 +126,42 @@ def test_train_step_data_parallel_mesh():
     # updated params must be replicated (no accidental sharding)
     leaf = jax.tree_util.tree_leaves(state2.trainable)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_train_step_dp_plus_tp_mesh():
+    """4x2 mesh: batch over 'data', attention projections sharded over
+    'model' (Megatron pattern via param shardings only)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from comat_tpu.parallel.tp import tp_param_shardings
+
+    pipe, blip, params, blip_params, batch, tcfg = _build(4)
+    mesh = make_mesh(data=4, model=2)
+    opt = make_optimizer(tcfg)
+    state, frozen = init_train_state(params, tcfg, opt)
+
+    # shard frozen + trainable with TP rules, replicate the rest
+    frozen = jax.device_put(frozen, tp_param_shardings(frozen, mesh))
+    state = state._replace(
+        trainable=jax.device_put(
+            state.trainable, tp_param_shardings(state.trainable, mesh)
+        ),
+        opt_state=replicate_tree(state.opt_state, mesh),
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+    )
+    blip_params = replicate_tree(blip_params, mesh)
+    sbatch = shard_batch(batch, mesh)
+    rng = jax.device_put(jax.random.PRNGKey(0), NamedSharding(mesh, P()))
+
+    step = jax.jit(make_train_step(pipe, blip, tcfg, opt))
+    state2, _, metrics = step(state, frozen, blip_params, sbatch, rng)
+    assert np.isfinite(float(metrics["step_loss"]))
+    # at least one frozen attention kernel is actually sharded on model
+    flat = jax.tree_util.tree_flatten_with_path(frozen)[0]
+    sharded = [
+        v for p, v in flat
+        if v is not None
+        and any(getattr(q, "key", None) == "to_q" for q in p)
+        and not v.sharding.is_fully_replicated
+    ]
+    assert sharded, "expected to_q kernels sharded over model axis"
