@@ -36,6 +36,40 @@ A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.40
 
 
+def random_params(init_fn, key):
+    """Fan-in-scaled random weights from abstract shapes (cheap, keeps
+    50-step activations finite — constant fills blow up to NaN)."""
+    shapes = jax.eval_shape(init_fn, key)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def materialize(key):
+        out = []
+        for i, s in enumerate(leaves):
+            if s.ndim >= 2:
+                fan_in = int(np.prod(s.shape[:-1]))
+                w = jax.random.normal(
+                    jax.random.fold_in(key, i), s.shape, jnp.float32
+                ) * (fan_in ** -0.5)
+                out.append(w.astype(s.dtype))
+            elif "scale" in str(i):
+                out.append(jnp.ones(s.shape, s.dtype))
+            else:
+                out.append(jnp.zeros(s.shape, s.dtype))
+        return out
+
+    vals = materialize(key)
+    # norm scales must be 1, not 0: fix 1-D leaves named scale
+    flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
+    fixed = []
+    for (path, s), v in zip(flat, vals):
+        keys = [str(getattr(q, "key", getattr(q, "name", q))) for q in path]
+        if s.ndim == 1 and keys and keys[-1] == "scale":
+            v = jnp.ones(s.shape, s.dtype)
+        fixed.append(v)
+    return jax.tree_util.tree_unflatten(treedef, fixed)
+
+
 def cast_frozen_bf16(tree):
     """Frozen-tower dtype policy: bf16 master copies (halves HBM and
     avoids per-step fp32->bf16 cast traffic); LoRA stays fp32."""
@@ -64,11 +98,7 @@ def build(batch_size: int, resolution: int = 512):
     blip = BLIPCaptioner(BLIPConfig.large())
     k = jax.random.PRNGKey(0)
 
-    shapes = jax.eval_shape(pipe.init_params, k)
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes
-    )
-    params = cast_frozen_bf16(params)
+    params = cast_frozen_bf16(random_params(pipe.init_params, k))
 
     B = batch_size
     tok = HashTokenizer(49408)
@@ -93,8 +123,12 @@ def build(batch_size: int, resolution: int = 512):
         ),
         k,
     )
-    blip_params = cast_frozen_bf16(jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.02, s.dtype), bshapes
+    blip_params = cast_frozen_bf16(random_params(
+        lambda k: blip.init(
+            k, jnp.zeros((1, 384, 384, 3)), batch["caption_ids"][:1],
+            batch["caption_mask"][:1], batch["caption_labels"][:1],
+        ),
+        k,
     ))
 
     tcfg = TrainConfig(total_step=50, K=5, resolution=resolution)
