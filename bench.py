@@ -101,11 +101,12 @@ def build(batch_size: int, resolution: int = 512):
     params = cast_frozen_bf16(random_params(pipe.init_params, k))
 
     B = batch_size
-    tok = HashTokenizer(49408)
+    tok = HashTokenizer(49408)            # CLIP vocab
+    blip_tok = HashTokenizer(30524)       # BLIP/BERT vocab
     prompts = [f"a photo of a red car and {i} blue birds" for i in range(B)]
     enc = tok(prompts, max_length=77)
     null = tok([""] * B, max_length=77)
-    cap = build_caption_batch(tok, prompts)
+    cap = build_caption_batch(blip_tok, prompts)
     S = 32
     pad = lambda a, v: np.pad(a, ((0, 0), (0, S - a.shape[1])), constant_values=v)
     batch = {

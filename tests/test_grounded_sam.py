@@ -54,3 +54,34 @@ def test_grounded_sam_protocol():
     assert len(masks) == 2
     assert masks[0].shape == (64, 64)
     assert seg(img, []) == []
+
+
+def test_swin_backbone_shapes():
+    from comat_tpu.segmentation.swin import SwinBackbone, SwinConfig
+
+    cfg = SwinConfig.tiny_test()  # window 4, /4 patch
+    model = SwinBackbone(cfg)
+    # input must be divisible by window*8 = 32... use 128
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 128, 128, 3))
+    params = model.init(jax.random.PRNGKey(1), img)
+    outs = model.apply(params, img)
+    assert len(outs) == 3
+    # strides 8, 16, 32 with dims 2C, 4C, 8C
+    assert outs[0].shape == (1, 16, 16, 32)
+    assert outs[1].shape == (1, 8, 8, 64)
+    assert outs[2].shape == (1, 4, 4, 128)
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
+
+
+def test_swin_shifted_window_locality():
+    """Shifted windows must not leak across the cyclic boundary: the
+    attention mask separates wrapped regions."""
+    from comat_tpu.segmentation.swin import SwinBlock
+
+    blk = SwinBlock(heads=1, window=4, shift=2, mlp_ratio=1.0,
+                    dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 8))
+    params = blk.init(jax.random.PRNGKey(1), x)
+    out = blk.apply(params, x)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
