@@ -43,6 +43,8 @@ class GDinoConfig:
     text_layers: int = 6
     text_vocab: int = 30524
     max_text_len: int = 64
+    backbone: str = "swin"    # "swin" (GroundingDINO-T) or "conv"
+    fusion: bool = True       # bi-directional image<->text fusion
     dtype: jnp.dtype = jnp.bfloat16
 
     @staticmethod
@@ -50,7 +52,17 @@ class GDinoConfig:
         return GDinoConfig(
             hidden=32, heads=2, levels=3, points=2, enc_layers=1,
             dec_layers=1, num_queries=20, text_hidden=32, text_layers=1,
-            text_vocab=1000, max_text_len=16, dtype=jnp.float32,
+            text_vocab=1000, max_text_len=16, backbone="conv",
+            dtype=jnp.float32,
+        )
+
+    @staticmethod
+    def tiny_swin() -> "GDinoConfig":
+        return GDinoConfig(
+            hidden=32, heads=2, levels=3, points=2, enc_layers=1,
+            dec_layers=1, num_queries=20, text_hidden=32, text_layers=1,
+            text_vocab=1000, max_text_len=16, backbone="swin",
+            dtype=jnp.float32,
         )
 
 
@@ -129,6 +141,51 @@ class TextEncoderLayer(nn.Module):
         h = nn.Dense(4 * D, dtype=c.dtype, name="fc1")(x)
         h = nn.Dense(D, dtype=c.dtype, name="fc2")(nn.gelu(h))
         return nn.LayerNorm(dtype=c.dtype, name="norm2")(x + h)
+
+
+class BiAttentionFusion(nn.Module):
+    """Bi-directional image<->text cross-attention (GroundingDINO's
+    feature-enhancer fusion), with residual gates (tanh-scaled)."""
+
+    cfg: GDinoConfig
+
+    @nn.compact
+    def __call__(self, img, text, text_mask):
+        c = self.cfg
+        D = c.hidden
+        B, S, _ = img.shape
+        T = text.shape[1]
+        dh = D // c.heads
+        split = lambda a, n: a.reshape(B, n, c.heads, dh).transpose(
+            0, 2, 1, 3
+        )
+        q_i = nn.Dense(D, dtype=c.dtype, name="img_q")(img)
+        k_t = nn.Dense(D, dtype=c.dtype, name="txt_k")(text)
+        v_t = nn.Dense(D, dtype=c.dtype, name="txt_v")(text)
+        v_i = nn.Dense(D, dtype=c.dtype, name="img_v")(img)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", split(q_i, S), split(k_t, T)
+        ).astype(jnp.float32) / (dh ** 0.5)
+        logits = jnp.where(text_mask[:, None, None, :], logits, -1e30)
+        # image attends text
+        p_it = jax.nn.softmax(logits, -1)
+        i2t = jnp.einsum(
+            "bhqk,bhkd->bhqd", p_it.astype(v_t.dtype), split(v_t, T)
+        ).transpose(0, 2, 1, 3).reshape(B, S, D)
+        # text attends image (transpose the same logits)
+        p_ti = jax.nn.softmax(logits.transpose(0, 1, 3, 2), -1)
+        t2i = jnp.einsum(
+            "bhqk,bhkd->bhqd", p_ti.astype(v_i.dtype), split(v_i, S)
+        ).transpose(0, 2, 1, 3).reshape(B, T, D)
+        g_i = self.param("gate_img", nn.initializers.zeros_init(), (),
+                         jnp.float32)
+        g_t = self.param("gate_txt", nn.initializers.zeros_init(), (),
+                         jnp.float32)
+        img = img + jnp.tanh(g_i) * nn.Dense(
+            D, dtype=c.dtype, name="img_out")(i2t)
+        text = text + jnp.tanh(g_t) * nn.Dense(
+            D, dtype=c.dtype, name="txt_out")(t2i)
+        return img, text
 
 
 class DecoderLayer(nn.Module):
@@ -214,19 +271,33 @@ class GroundingDetector(nn.Module):
         c = self.cfg
         dt = c.dtype
         B = image.shape[0]
-        # --- image pyramid (pluggable backbone; Swin-T next round) ---
-        x = image.astype(dt)
+        # --- image pyramid ---
         feats = []
-        ch = c.hidden
-        for i in range(c.levels + 2):
-            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1, dtype=dt,
-                        name=f"bb{i}")(x)
-            x = nn.gelu(nn.GroupNorm(num_groups=min(8, ch), dtype=dt,
-                                     name=f"bbn{i}")(x))
-            if i >= 2:  # strides 8, 16, 32
+        if c.backbone == "swin":
+            from comat_tpu.segmentation.swin import SwinBackbone, SwinConfig
+
+            swin_cfg = (
+                SwinConfig(dtype=dt) if c.hidden >= 256
+                else SwinConfig.tiny_test()
+            )
+            stages = SwinBackbone(swin_cfg, name="swin")(image)
+            for i, f in enumerate(stages[: c.levels]):
                 feats.append(
-                    nn.Conv(c.hidden, (1, 1), dtype=dt, name=f"lat{i}")(x)
+                    nn.Conv(c.hidden, (1, 1), dtype=dt, name=f"lat{i}")(f)
                 )
+        else:
+            x = image.astype(dt)
+            ch = c.hidden
+            for i in range(c.levels + 2):
+                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1, dtype=dt,
+                            name=f"bb{i}")(x)
+                x = nn.gelu(nn.GroupNorm(num_groups=min(8, ch), dtype=dt,
+                                         name=f"bbn{i}")(x))
+                if i >= 2:  # strides 8, 16, 32
+                    feats.append(
+                        nn.Conv(c.hidden, (1, 1), dtype=dt,
+                                name=f"lat{i}")(x)
+                    )
         spatial_shapes = tuple(
             (f.shape[1], f.shape[2]) for f in feats
         )
@@ -250,12 +321,8 @@ class GroundingDetector(nn.Module):
         ref_points = jnp.broadcast_to(
             jnp.concatenate(refs, 0)[None], (B, src.shape[1], 2)
         )
-        for i in range(c.enc_layers):
-            src = DeformableEncoderLayer(c, name=f"enc{i}")(
-                src, ref_points, spatial_shapes
-            )
 
-        # --- text ---
+        # --- text (BERT-style stack) ---
         t = nn.Embed(c.text_vocab, c.text_hidden, dtype=dt,
                      name="text_embed")(text_ids)
         pos = self.param(
@@ -267,24 +334,60 @@ class GroundingDetector(nn.Module):
             t = TextEncoderLayer(c, name=f"text{i}")(t, text_mask)
         t = nn.Dense(c.hidden, dtype=dt, name="text_proj")(t)
 
-        # --- queries + decoder ---
+        # --- feature enhancer: deformable image self-attn interleaved
+        # with bi-directional image<->text fusion (GroundingDINO) ---
+        for i in range(c.enc_layers):
+            if c.fusion:
+                src, t = BiAttentionFusion(c, name=f"fuse{i}")(
+                    src, t, text_mask
+                )
+            src = DeformableEncoderLayer(c, name=f"enc{i}")(
+                src, ref_points, spatial_shapes
+            )
+
+        # --- language-guided query selection (mixed query selection:
+        # top-k positions from encoder-output/text similarity, learned
+        # content embeddings) ---
+        enc_norm = src / jnp.maximum(
+            jnp.linalg.norm(src.astype(jnp.float32), axis=-1,
+                            keepdims=True), 1e-6,
+        )
+        t_norm = t / jnp.maximum(
+            jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True),
+            1e-6,
+        )
+        sim = jnp.einsum(
+            "bsd,btd->bst", enc_norm.astype(jnp.float32),
+            t_norm.astype(jnp.float32),
+        )
+        sim = jnp.where(text_mask[:, None, :], sim, -1e30)
+        sel_score = sim.max(-1)  # (B, S)
+        k = min(c.num_queries, sel_score.shape[1])
+        _, top_idx = jax.lax.top_k(sel_score, k)  # (B, k)
+        qr = jnp.take_along_axis(ref_points, top_idx[..., None], axis=1)
+        if k < c.num_queries:
+            qr = jnp.pad(qr, ((0, 0), (0, c.num_queries - k), (0, 0)),
+                         constant_values=0.5)
         qemb = self.param(
             "query_embed", nn.initializers.normal(0.02),
             (c.num_queries, c.hidden), jnp.float32,
         )
-        qref = self.param(
-            "query_ref", nn.initializers.uniform(1.0),
-            (c.num_queries, 2), jnp.float32,
-        )
         q = jnp.broadcast_to(qemb[None].astype(dt), (B,) + qemb.shape)
-        qr = jnp.broadcast_to(
-            jax.nn.sigmoid(qref)[None], (B, c.num_queries, 2)
-        )
+
+        # --- decoder with iterative box refinement ---
         src_value = src.reshape(B, src.shape[1], c.heads,
                                 c.hidden // c.heads)
+        qr = jnp.clip(qr, 1e-4, 1 - 1e-4)
         for i in range(c.dec_layers):
             q = DecoderLayer(c, name=f"dec{i}")(
                 q, t, text_mask, src_value, qr, spatial_shapes
+            )
+            delta = MLP(c.hidden, 2, 3, dt, name=f"refine{i}")(q)
+            qr = jnp.clip(
+                jax.nn.sigmoid(
+                    jax.scipy.special.logit(qr) + delta.astype(jnp.float32)
+                ),
+                1e-4, 1 - 1e-4,
             )
         boxes = jax.nn.sigmoid(
             MLP(c.hidden, 4, 3, dt, name="box_head")(q)

@@ -85,3 +85,20 @@ def test_swin_shifted_window_locality():
     params = blk.init(jax.random.PRNGKey(1), x)
     out = blk.apply(params, x)
     assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_grounding_detector_swin_backbone():
+    from comat_tpu.segmentation.gdino import GDinoConfig, GroundingDetector
+
+    cfg = GDinoConfig.tiny_swin()
+    model = GroundingDetector(cfg)
+    # swin tiny_test: /4 patch + window 4 -> input divisible by 32;
+    # detector consumes strides 8/16/32
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 128, 128, 3))
+    ids = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    mask = jnp.ones((1, cfg.max_text_len), bool)
+    params = model.init(jax.random.PRNGKey(1), img, ids, mask)
+    boxes, logits = model.apply(params, img, ids, mask)
+    assert boxes.shape == (1, cfg.num_queries, 4)
+    assert np.isfinite(np.asarray(boxes)).all()
+    assert np.isfinite(np.asarray(logits)).all()
