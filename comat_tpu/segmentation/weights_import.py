@@ -1,5 +1,9 @@
 """FastSAM (ultralytics YOLOv8x-seg) weight import.
 
+The reference loads `FastSAM-x.pt` through ultralytics
+(reference: attr_concen_utils/gsam_interface.py:24-28); this converter
+brings those weights into the Flax YoloV8Seg.
+
 Maps ultralytics state-dict names (`model.model.{idx}...`) onto the
 YoloV8Seg param tree. Layer-index assignment follows the yolov8-seg
 yaml: backbone 0-9, neck 10-21 (upsample/concat layers own no params),

@@ -131,3 +131,29 @@ def test_capture_stacks_over_trained_steps(setup):
         ).captured["probe"].sum()
     )(w)
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_generate_dpmpp_pipeline_integration():
+    """pipeline.generate(kind='dpmpp') end-to-end on the tiny pipeline."""
+    import numpy as np
+    from comat_tpu.models.pipeline import (
+        DiffusionPipeline, make_pipeline_config,
+    )
+    from comat_tpu.text.tokenizer import HashTokenizer
+
+    pcfg = make_pipeline_config("sd_1_5", lora_rank=0, resolution=64,
+                                tiny=True)
+    pipe = DiffusionPipeline(pcfg)
+    k = jax.random.PRNGKey(0)
+    params = pipe.init_params(k)
+    tok = HashTokenizer(1000)
+    enc = tok(["a cat"], max_length=pcfg.text.max_length)
+    null = tok([""], max_length=pcfg.text.max_length)
+    img = pipe.generate(
+        params, k, jnp.asarray(enc["input_ids"]),
+        jnp.asarray(null["input_ids"]),
+        num_inference_steps=8, kind="dpmpp",
+        eos_positions=jnp.asarray(enc["eos_positions"]),
+    )
+    assert img.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
