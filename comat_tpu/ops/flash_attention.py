@@ -323,8 +323,10 @@ def _blocks(Sq, Skv, d):
     # always legal, so keep d unpadded (lane padding happens inside the
     # MXU) except for tiny dims where an 8-multiple helps Mosaic.
     d_pad = d if d % 8 == 0 else _round_up(d, 8)
+    # swept on v5e at SD1.5 shapes (B8 H8 S4096 d40): bq=512/bkv=1024
+    # is the plateau; larger q blocks regress, bkv=256 badly so.
     block_q = min(512, _round_up(Sq, 8))
-    block_kv = min(512, _round_up(Skv, 128))
+    block_kv = min(1024, _round_up(Skv, 128))
     return d_pad, block_q, block_kv, _round_up(Sq, block_q), _round_up(
         Skv, block_kv
     )
