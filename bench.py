@@ -233,6 +233,10 @@ def main():
                     "a100_baseline_est_imgs_per_sec": (
                         round(a100_est, 4) if f_img else None
                     ),
+                    "achieved_tflops_per_sec": (
+                        round(f_img * imgs_per_sec / 1e12, 1)
+                        if f_img else None
+                    ),
                     "device": str(jax.devices()[0]),
                 },
             }

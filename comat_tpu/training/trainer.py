@@ -303,6 +303,26 @@ class Trainer:
         self._pending_metrics = None
         self._profiling = False
 
+        # Failure tolerance beyond the reference (SURVEY.md §5.3: the
+        # reference has none): SIGTERM/SIGINT checkpoint-then-exit, and
+        # a step-time watchdog that flags stragglers.
+        self._stop_requested = False
+        import signal
+
+        def _graceful(signum, frame):
+            self.logger.warning(
+                "signal %d: checkpointing at step %d then exiting",
+                signum, self.global_step,
+            )
+            self._stop_requested = True
+
+        try:
+            signal.signal(signal.SIGTERM, _graceful)
+            signal.signal(signal.SIGINT, _graceful)
+        except ValueError:
+            pass  # non-main thread (tests)
+        self._step_times = []
+
     # ---- weights ----
     def _maybe_load_pretrained(self, params):
         path = self.args.pretrain_model
@@ -435,9 +455,24 @@ class Trainer:
                         pstep, host_m.get("step_loss", 0.0),
                         host_m.get("reward_blip", 0.0),
                     )
+                    # straggler watchdog
+                    if dt > 0:
+                        self._step_times.append(dt)
+                        hist = self._step_times[-50:]
+                        med = sorted(hist)[len(hist) // 2]
+                        if len(hist) >= 5 and dt > 3.0 * med:
+                            self.logger.warning(
+                                "step %d took %.1fs (median %.1fs) — "
+                                "possible straggler/preemption", pstep,
+                                dt, med,
+                            )
                 else:
                     self.timer.tick()
                 self._pending_metrics = (self.global_step, m, len(prompts))
+                if self._stop_requested:
+                    self.save_and_evaluate()
+                    self.logger.info("exiting on signal after checkpoint")
+                    return
                 if (
                     args.validation_steps
                     and self.global_step % args.validation_steps == 0
