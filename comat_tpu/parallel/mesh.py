@@ -45,13 +45,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict on the mesh, leading dim over 'data'."""
+    """Place a host batch dict on the mesh, leading dim over 'data'.
+
+    Single-host: plain device_put with the data sharding. Multi-host
+    (jax.process_count() > 1): each host holds its shard of the global
+    batch (the per-host slice produced by PromptDataset's
+    process-strided partition), assembled into global arrays with
+    `make_array_from_process_local_data` — the TPU equivalent of the
+    reference's per-rank DDP dataloader shards (node8.yaml).
+    """
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, s) if getattr(x, "ndim", 0) > 0
-        else jax.device_put(x, replicated(mesh)),
-        batch,
-    )
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, s) if getattr(x, "ndim", 0) > 0
+            else jax.device_put(x, replicated(mesh)),
+            batch,
+        )
+
+    import numpy as np
+
+    def put(x):
+        if getattr(x, "ndim", 0) == 0:
+            return jax.device_put(x, replicated(mesh))
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_tree(tree, mesh: Mesh):
