@@ -12,7 +12,7 @@ usage (gan_sdxl.py:72-78, no CFG) on one code path.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax.numpy as jnp
 

@@ -25,7 +25,7 @@ reference relies on diffusers computing schedules in fp32 too).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Host-side caption/label construction lives in `build_caption_batch`
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ input, through which the concept-matching gradient reaches the sampler.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
 
 import flax.linen as nn
 import jax

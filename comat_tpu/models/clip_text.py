@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from comat_tpu.config import CLIPTextConfig
 from comat_tpu.models.lora import LoRADense
-from comat_tpu.ops.attention import multi_head_attention
 
 EOS_TOKEN_ID = 49407
 

@@ -22,14 +22,12 @@ attention maps), so dL/dimage = w * d(-reward)/dimage.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from comat_tpu.models.lora import trainable_mask
 from comat_tpu.models.pipeline import DiffusionPipeline
 from comat_tpu.losses.caption_reward import blip_caption_reward, crop_jitter
 
