@@ -423,7 +423,13 @@ def ground_nouns(
     """Host-side grounding: assign boxes to nouns (reference
     gsam_interface.py:92-116 semantics — boxes above box_threshold whose
     max token prob lies in a noun's span above text_threshold)."""
-    probs = 1.0 / (1.0 + np.exp(-token_logits))
+    # numerically stable sigmoid (large negative logits overflow exp)
+    probs = np.where(
+        token_logits >= 0,
+        1.0 / (1.0 + np.exp(-np.clip(token_logits, 0, None))),
+        np.exp(np.clip(token_logits, None, 0))
+        / (1.0 + np.exp(np.clip(token_logits, None, 0))),
+    )
     scores = probs.max(-1)
     out: Dict[int, List[np.ndarray]] = {}
     for i in range(len(boxes)):
