@@ -10,8 +10,13 @@ which is how optax masks the optimizer instead of mutating
 `requires_grad`.
 
 Math (matching diffusers LoRALinearLayer): y = x W + (x A) B, with
-A ~ N(0, 1/rank), B = 0 at init, scale 1. The LoRA branch always
-computes in float32 regardless of base compute dtype.
+A ~ N(0, 1/rank), B = 0 at init, scale 1. LoRA *master weights* are
+float32 (the reference upcasts them: pipeline.py:135-138), but the
+matmuls run in the module compute dtype — exactly what the reference
+executes, since torch autocast re-casts the fp32 LoRA weights to fp16
+at F.linear. At rank 128 the LoRA matmuls are comparable FLOPs to the
+base projection, so running them fp32 would halve attention-projection
+MXU throughput.
 """
 
 from __future__ import annotations
@@ -58,7 +63,8 @@ class LoRADense(nn.Module):
                 (self.lora_rank, self.features),
                 jnp.float32,
             )
-            delta = (x.astype(jnp.float32) @ lora_a) @ lora_b
+            dt = self.dtype
+            delta = (x.astype(dt) @ lora_a.astype(dt)) @ lora_b.astype(dt)
             y = y + delta.astype(y.dtype)
         return y
 
