@@ -3,9 +3,10 @@
 Mirrors training_utils/arguments.py (the ~65-flag argparse contract
 that scripts/sd15.sh and scripts/sdxl.sh drive — SURVEY.md §5.6 calls
 this the API contract to keep). Flags that are CUDA/torch-specific
-(--allow_tf32, --mixed_precision, --use_8bit_adam, --local_rank) are
-accepted for script compatibility and mapped to their TPU-native
-equivalents or no-ops, documented inline.
+(--allow_tf32, --mixed_precision, --local_rank) are accepted for
+script compatibility and mapped to their TPU-native equivalents or
+no-ops, documented inline; --use_8bit_adam enables the int8 blockwise
+optimizer-moment storage (training/optim8bit.py).
 """
 
 from __future__ import annotations
@@ -76,7 +77,8 @@ def parse_args(argv=None):
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--use_8bit_adam", action="store_true",
-                   help="accepted for parity; plain AdamW on TPU")
+                   help="int8 blockwise optimizer moments "
+                        "(training/optim8bit.py)")
     p.add_argument("--allow_tf32", action="store_true",
                    help="no-op on TPU (native bf16)")
     p.add_argument("--mixed_precision", type=str, default=None,

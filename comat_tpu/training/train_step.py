@@ -13,10 +13,11 @@ is *partitioned out* of the frozen params before `jax.grad`, so no
 cotangents are materialized for frozen weights (the reference instead
 relies on requires_grad=False). The reference's image-gradient hook
 (training_script.py:644-651) — recording ||dL/dimage|| and optionally
-renormalizing it (--norm_grad) — is reproduced with a custom_vjp
-gradient tap, computed exactly: only the caption reward backpropagates
-through the decoded image (GAN flows through latents, grounding through
-attention maps), so dL/dimage = w * d(-reward)/dimage.
+renormalizing it (--norm_grad) — is reproduced exactly with one BLIP
+VJP whose pullback doubles as the loss gradient path (see loss_fn):
+only the caption reward backpropagates through the decoded image (GAN
+flows through latents, grounding through attention maps), so
+dL/dimage = w * d(-reward)/dimage.
 """
 
 from __future__ import annotations
@@ -58,6 +59,7 @@ class TrainConfig:
     mask_token_loss_weight: float = 1e-3
     mask_pixel_loss_weight: float = 5e-5
     gradient_accumulation_steps: int = 1
+    use_8bit_adam: bool = False     # --use_8bit_adam
 
     @property
     def interval(self) -> int:
@@ -152,32 +154,24 @@ def merge_params(trainable, frozen):
     )
 
 
-@jax.custom_vjp
-def _grad_tap(x, factor):
-    return x
-
-
-def _grad_tap_fwd(x, factor):
-    return x, factor
-
-
-def _grad_tap_bwd(factor, g):
-    return g * factor, None
-
-
-_grad_tap.defvjp(_grad_tap_fwd, _grad_tap_bwd)
-
-
 def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
-    opt = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
-            lr_schedule if lr_schedule is not None else cfg.learning_rate,
-            b1=cfg.adam_b1,
-            b2=cfg.adam_b2,
-            eps=cfg.adam_eps,
+    lr = lr_schedule if lr_schedule is not None else cfg.learning_rate
+    if cfg.use_8bit_adam:
+        # --use_8bit_adam (reference: bitsandbytes AdamW8bit,
+        # training_script.py:216-223) — int8 blockwise moment storage
+        from comat_tpu.training.optim8bit import adamw_8bit
+
+        adam = adamw_8bit(
+            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
             weight_decay=cfg.adam_weight_decay,
-        ),
+        )
+    else:
+        adam = optax.adamw(
+            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            weight_decay=cfg.adam_weight_decay,
+        )
+    opt = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), adam,
     )
     if cfg.gradient_accumulation_steps > 1:
         # reference --gradient_accumulation_steps via accelerate
@@ -298,8 +292,15 @@ def make_train_step(
         )
 
         # ---- reward-gradient tap (training_script.py:644-651) ----
-        # reward_norm = w * ||d caption_loss/d image||, computed exactly
-        # with a BLIP-only backward on a stopped image copy.
+        # Only the caption reward backpropagates through the decoded
+        # image (GAN flows through latents, grounding through attention
+        # maps), so dL/dimage = w * d(-reward)/dimage exactly. One
+        # checkpointed VJP therefore yields BOTH the reference's
+        # reward_norm metric / --norm_grad rescale AND the loss gradient
+        # path, via linear reattachment: grad(<sg(g·factor), img>) wrt
+        # img is g·factor — exact, since the loss is differentiated
+        # once. 3 BLIP passes total (fwd + remat fwd + bwd) instead of
+        # the 5 a separate norm-grad backward would cost.
         def caption_loss_of_image(img):
             r = blip_caption_reward(
                 blip_module, blip_params, img,
@@ -315,25 +316,22 @@ def make_train_step(
         size = cfg.resolution - offset_range
         cropped = crop_jitter(image, ox, oy, size)
 
-        reward_norm = jnp.linalg.norm(
-            jax.grad(caption_loss_of_image)(
-                jax.lax.stop_gradient(cropped)
-            ).astype(jnp.float32)
+        closs, pullback = jax.vjp(
+            jax.checkpoint(caption_loss_of_image),
+            jax.lax.stop_gradient(cropped),
         )
+        (img_grad,) = pullback(jnp.ones_like(closs))
+        reward_norm = jnp.linalg.norm(img_grad.astype(jnp.float32))
         factor = jnp.where(
             cfg.norm_grad, 1e4 / jnp.maximum(reward_norm, 1e-12), 1.0
         )
-        tapped = _grad_tap(cropped, factor)
-
-        reward = jax.checkpoint(
-            lambda bp, img: blip_caption_reward(
-                blip_module, bp, img,
-                batch["caption_ids"], batch["caption_mask"],
-                batch["caption_labels"],
-            )
-        )(blip_params, tapped)
+        loss_caption = closs + jnp.sum(
+            jax.lax.stop_gradient(img_grad * factor)
+            * (cropped - jax.lax.stop_gradient(cropped))
+        )
+        reward = -closs / cfg.reward_weight
         total_reward = cfg.reward_weight * reward
-        loss = -total_reward  # training_script.py:618
+        loss = loss_caption  # == -total_reward (training_script.py:618)
 
         metrics = {
             "reward_blip": reward,

@@ -153,6 +153,7 @@ class Trainer:
             mask_token_loss_weight=args.mask_token_loss_weight,
             mask_pixel_loss_weight=args.mask_pixel_loss_weight,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
+            use_8bit_adam=args.use_8bit_adam,
         )
 
         self.optimizer = make_optimizer(self.tcfg, _lr_schedule(args))
@@ -389,10 +390,14 @@ class Trainer:
             dict(zip(self.mesh.axis_names, self.mesh.devices.shape)),
         )
         rng = self.rng
+        done = False
         for epoch in range(num_epochs):
+            if done:
+                break
             for prompts in self.dataset.epoch(epoch):
                 if self.global_step >= args.max_train_steps:
-                    return
+                    done = True
+                    break
                 if args.batch_repeat > 1:
                     prompts = list(prompts) * args.batch_repeat
                 batch = assemble_batch(
@@ -439,36 +444,10 @@ class Trainer:
                 # Pipelining: metrics of the PREVIOUS step are fetched
                 # here, after the next step has been dispatched — the
                 # host never blocks the device on logging.
-                if self._pending_metrics is not None:
-                    pstep, pm, pbs = self._pending_metrics
-                    dt = self.timer.tick()
-                    host_m = {k: float(v) for k, v in pm.items()}
-                    host_m["sec_per_step"] = dt
-                    if dt > 0:
-                        host_m["images_per_sec"] = (
-                            pbs * jax.process_count() / dt
-                        )
-                    self.metrics.log(host_m, pstep)
-                    self.logger.info(
-                        "step %d: loss=%.4f reward=%.4f",
-                        pstep, host_m.get("step_loss", 0.0),
-                        host_m.get("reward_blip", 0.0),
-                    )
-                    # straggler watchdog
-                    if dt > 0:
-                        self._step_times.append(dt)
-                        hist = self._step_times[-50:]
-                        med = sorted(hist)[len(hist) // 2]
-                        if len(hist) >= 5 and dt > 3.0 * med:
-                            self.logger.warning(
-                                "step %d took %.1fs (median %.1fs) — "
-                                "possible straggler/preemption", pstep,
-                                dt, med,
-                            )
-                else:
-                    self.timer.tick()
+                self._flush_pending_metrics()
                 self._pending_metrics = (self.global_step, m, len(prompts))
                 if self._stop_requested:
+                    self._flush_pending_metrics()
                     self.save_and_evaluate()
                     self.logger.info("exiting on signal after checkpoint")
                     return
@@ -477,7 +456,38 @@ class Trainer:
                     and self.global_step % args.validation_steps == 0
                 ):
                     self.save_and_evaluate()
+        self._flush_pending_metrics()
         self.save_and_evaluate()
+
+    def _flush_pending_metrics(self):
+        """Fetch and log the previous step's metrics (see pipelining
+        note in train()); also feeds the straggler watchdog."""
+        if self._pending_metrics is None:
+            self.timer.tick()
+            return
+        pstep, pm, pbs = self._pending_metrics
+        self._pending_metrics = None
+        dt = self.timer.tick()
+        host_m = {k: float(v) for k, v in pm.items()}
+        host_m["sec_per_step"] = dt
+        if dt > 0:
+            host_m["images_per_sec"] = pbs * jax.process_count() / dt
+        self.metrics.log(host_m, pstep)
+        self.logger.info(
+            "step %d: loss=%.4f reward=%.4f",
+            pstep, host_m.get("step_loss", 0.0),
+            host_m.get("reward_blip", 0.0),
+        )
+        # straggler watchdog
+        if dt > 0:
+            self._step_times.append(dt)
+            hist = self._step_times[-50:]
+            med = sorted(hist)[len(hist) // 2]
+            if len(hist) >= 5 and dt > 3.0 * med:
+                self.logger.warning(
+                    "step %d took %.1fs (median %.1fs) — "
+                    "possible straggler/preemption", pstep, dt, med,
+                )
 
     def save_and_evaluate(self):
         """Checkpoint + validation images (reference

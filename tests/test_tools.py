@@ -97,3 +97,25 @@ def test_crop_jitter_matches_slice():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(img[:, 2:16, 1:15, :])
     )
+
+
+def test_evaluate_cli_tiny(tmp_path):
+    """Alignment eval harness end-to-end on tiny models: jsonl rows +
+    summary line."""
+    import json
+
+    from comat_tpu.tools.evaluate import main as eval_main
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a red car\na blue bird\na cat\n")
+    out = tmp_path / "res.jsonl"
+    eval_main([
+        "--prompt-path", str(prompts), "--out", str(out), "--tiny",
+        "--num-inference-steps", "3", "--resolution", "64",
+        "--batch-size", "2",
+    ])
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 4  # 3 prompts + summary
+    assert {"prompt", "blip_reward"} <= set(lines[0])
+    assert lines[-1]["n"] == 3
+    assert np.isfinite(lines[-1]["mean_blip_reward"])
