@@ -102,3 +102,146 @@ def test_grounding_detector_swin_backbone():
     assert boxes.shape == (1, cfg.num_queries, 4)
     assert np.isfinite(np.asarray(boxes)).all()
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_build_text_masks():
+    from comat_tpu.segmentation.gdino import build_text_masks
+
+    # [CLS]=101, [SEP]=102, '.'=1012 separate phrases
+    ids = np.array([[101, 5, 6, 1012, 7, 8, 9, 102]])
+    mask, pos = build_text_masks(ids, (101, 102, 1012))
+    # phrase 1 = tokens 1..3 (incl. '.'), attends within [prev..sep]
+    assert mask[0, 1, 2] and mask[0, 2, 1]
+    assert not mask[0, 1, 5]          # no cross-phrase attention
+    assert mask[0, 4, 6]              # phrase 2 internal
+    assert mask[0, 0, 0]              # special token attends itself
+    # position ids restart after each separator
+    np.testing.assert_array_equal(pos[0], [0, 0, 1, 2, 0, 1, 2, 3])
+
+
+def _synthetic_gdino_state_dict(params):
+    """Build a torch-named state dict with shapes implied by our tree
+    (inverse of each transform)."""
+    from comat_tpu.segmentation.gdino_import import gdino_hf_name
+
+    rng = np.random.RandomState(0)
+    sd = {}
+    unmapped = []
+    flat = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    for path, leaf in flat:
+        keys = tuple(str(getattr(q, "key", getattr(q, "name", q)))
+                     for q in path)
+        res = gdino_hf_name(keys)
+        if res is None:
+            unmapped.append("/".join(keys))
+            continue
+        name, _ = res
+        shape = leaf.shape
+        if name.endswith("in_proj_weight"):
+            shape = (3 * leaf.shape[1], leaf.shape[0])
+        elif name.endswith("in_proj_bias"):
+            shape = (3 * leaf.shape[0],)
+        elif name.endswith(("proj.weight",)) and leaf.ndim == 4:
+            shape = (leaf.shape[3], leaf.shape[2], leaf.shape[0],
+                     leaf.shape[1])
+        elif leaf.ndim == 4:  # any conv
+            shape = (leaf.shape[3], leaf.shape[2], leaf.shape[0],
+                     leaf.shape[1])
+        elif name.endswith("reduction.weight"):
+            shape = (leaf.shape[1], leaf.shape[0])
+        elif (name.endswith(".weight") and leaf.ndim == 2
+              and not name.endswith(("embeddings.weight",
+                                     "tgt_embed.weight"))
+              and name != "transformer.level_embed"):
+            shape = (leaf.shape[1], leaf.shape[0])
+        if name not in sd:
+            sd[name] = rng.randn(*shape).astype(np.float32)
+        else:
+            assert sd[name].shape == shape, (name, sd[name].shape, shape)
+    return sd, unmapped
+
+
+def test_gdino_import_mapping_coverage():
+    """Every param of the swin-backbone detector maps onto a checkpoint
+    name; loading a synthetic state dict fills the whole tree."""
+    from comat_tpu.segmentation.gdino_import import (
+        gdino_hf_name, load_gdino_params,
+    )
+
+    cfg = GDinoConfig.tiny_swin()
+    model = GroundingDetector(cfg)
+    img = jnp.zeros((1, 128, 128, 3))
+    ids = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    mask = jnp.ones((1, cfg.max_text_len), bool)
+    params = jax.eval_shape(
+        lambda k: model.init(k, img, ids, mask), jax.random.PRNGKey(0)
+    )
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), params
+    )
+    sd, unmapped = _synthetic_gdino_state_dict(params)
+    assert unmapped == [], unmapped
+    # DDP-prefixed checkpoints load too
+    sd_pref = {f"module.{k}": v for k, v in sd.items()}
+    loaded, missing = load_gdino_params(sd_pref, params)
+    assert missing == [], missing[:10]
+
+    # value spot checks: transpose, packed qkv split, conv layout
+    p = loaded["params"]
+    np.testing.assert_allclose(
+        np.asarray(p["feat_map"]["kernel"]), sd["feat_map.weight"].T
+    )
+    w = sd["transformer.decoder.layers.0.self_attn.in_proj_weight"]
+    d = w.shape[0] // 3
+    np.testing.assert_allclose(
+        np.asarray(p["dec0"]["sa_k"]["kernel"]), w[d : 2 * d].T
+    )
+    np.testing.assert_allclose(
+        np.asarray(p["swin"]["patch_embed"]["kernel"]),
+        np.transpose(sd["backbone.0.patch_embed.proj.weight"],
+                     (2, 3, 1, 0)),
+    )
+
+    # pin exact checkpoint names against typos
+    expected = {
+        ("swin", "stage1_block0", "attn", "rel_pos_bias"):
+            "backbone.0.layers.1.blocks.0.attn"
+            ".relative_position_bias_table",
+        ("swin", "merge0", "kernel"):
+            "backbone.0.layers.0.downsample.reduction.weight",
+        ("swin", "out_norm1", "scale"): "backbone.0.norm1.weight",
+        ("bert", "layer0", "query", "kernel"):
+            "bert.encoder.layer.0.attention.self.query.weight",
+        ("bert", "emb_norm", "bias"): "bert.embeddings.LayerNorm.bias",
+        ("input_proj0_norm", "scale"): "input_proj.0.1.weight",
+        ("level_embed",): "transformer.level_embed",
+        ("fuse0", "gamma_v"):
+            "transformer.encoder.fusion_layers.0.gamma_v",
+        ("fuse0", "values_l_proj", "bias"):
+            "transformer.encoder.fusion_layers.0.attn.values_l_proj"
+            ".bias",
+        ("text_enc0", "q", "kernel"):
+            "transformer.encoder.text_layers.0.self_attn"
+            ".in_proj_weight",
+        ("enc0", "offsets", "kernel"):
+            "transformer.encoder.layers.0.self_attn.sampling_offsets"
+            ".weight",
+        ("enc_out_bbox_embed", "l2", "bias"):
+            "transformer.enc_out_bbox_embed.layers.2.bias",
+        ("tgt_embed",): "transformer.tgt_embed.weight",
+        ("ref_point_head", "l0", "kernel"):
+            "transformer.decoder.ref_point_head.layers.0.weight",
+        ("dec_norm", "scale"): "transformer.decoder.norm.weight",
+        ("dec0", "ca_out", "kernel"):
+            "transformer.decoder.layers.0.ca_text.out_proj.weight",
+        ("dec0", "value", "kernel"):
+            "transformer.decoder.layers.0.cross_attn.value_proj"
+            ".weight",
+        ("dec0", "norm_ffn", "bias"):
+            "transformer.decoder.layers.0.norm3.bias",
+        ("bbox_embed0", "l1", "kernel"):
+            "transformer.decoder.bbox_embed.0.layers.1.weight",
+    }
+    for path, name in expected.items():
+        got = gdino_hf_name(path)
+        assert got is not None and got[0] == name, (path, got)
