@@ -57,15 +57,15 @@ class VAEAttention(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        logits = jnp.einsum(
-            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
-        ).astype(jnp.float32) / (C ** 0.5)
-        probs = jax.nn.softmax(logits, axis=-1)
-        o = jnp.einsum(
-            "bqk,bkc->bqc", probs.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
-        o = nn.Dense(C, dtype=self.dtype, name="to_out")(o)
+        # fused flash path (custom-VJP Pallas on TPU): at 64x64 latents
+        # this is 4096-token single-head attention — the unfused einsum
+        # materializes a (B, 4096, 4096) fp32 probs tensor in HBM
+        from comat_tpu.ops.attention import multi_head_attention
+
+        o, _ = multi_head_attention(q, k, v, num_heads=1)
+        o = nn.Dense(C, dtype=self.dtype, name="to_out")(
+            o.astype(self.dtype)
+        )
         return x + o.reshape(B, H, W, C)
 
 

@@ -331,10 +331,15 @@ def _flash_diff_bwd(res, g):
     vf = vf_aug[:, :, :-1]
     scale = 1.0 / (d ** 0.5)
     d_pad, bq, bkv, sq_pad, skv_pad = _blocks(Sq, Skv, d)
-    # backward q blocks are half the forward's: the bwd kernels hold
-    # four (bq, bkv) fp32 temporaries live, and bq=1024 exceeds the
-    # scoped-VMEM stack limit
-    bq = min(512, bq)
+    # backward q blocks are smaller than the forward's: the bwd
+    # kernels hold four (bq, bkv) fp32 temporaries live plus (bq/bkv,
+    # d) accumulators, and larger blocks exceed the 16MB scoped-VMEM
+    # stack limit (shrink further for fat heads like the VAE's d=512)
+    if d_pad <= 128:
+        bq = min(512, bq)
+    else:
+        bq = min(256, bq)
+        bkv = min(512, bkv)  # fwd skv_pad stays (it is a bkv multiple)
     gf = _pad_bhsd(g, sq_pad, d_pad)
     # dvec = rowsum(dO * O) in fp32 (padded rows contribute zero),
     # broadcast across 8 sublanes like lse (TPU block tiling)
@@ -369,6 +374,9 @@ def _flash_diff_bwd(res, g):
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # fat-head (d=512 VAE) accumulators need more scoped VMEM
+            # than the 16MB default
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(qf, kf, vf, gf, lse, dvec)
 
@@ -403,6 +411,9 @@ def _flash_diff_bwd(res, g):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # fat-head (d=512 VAE) accumulators need more scoped VMEM
+            # than the 16MB default
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(qf, kf, vf, gf, lse, dvec)
 
