@@ -72,7 +72,10 @@ class GroundedSAMSegmenter:
 
     def _tokenize_nouns(self, nouns: Sequence[str]):
         """' . '-joined caption + per-noun token spans
-        (gsam_interface.py:92-100)."""
+        (gsam_interface.py:92-100), plus GroundingDINO's per-phrase
+        text self-attention mask / restarted position ids."""
+        from comat_tpu.segmentation.gdino import build_text_masks
+
         text = " . ".join(nouns)
         ids = self.tokenizer.tokenize(text)
         spans = []
@@ -81,12 +84,25 @@ class GroundedSAMSegmenter:
             n_toks = len(self.tokenizer.tokenize(noun))
             spans.append((pos, pos + n_toks))
             pos += n_toks + 1  # the ' . ' separator token
+        sep = getattr(self.tokenizer, "sep_token_id", None)
+        if sep is not None:
+            ids = ids + [sep]   # terminate the last phrase before pads
         L = self.gdino_cfg.max_text_len
         ids = (ids + [0] * L)[:L]
         mask = [i < min(pos, L) for i in range(L)]
+        ids_np = np.asarray([ids], np.int32)
+        period = self.tokenizer.tokenize(".")
+        special = {getattr(self.tokenizer, "cls_token_id", -1),
+                   getattr(self.tokenizer, "sep_token_id", -1)}
+        if len(period) == 1:
+            special.add(period[0])
+        special.discard(-1)
+        self_mask, pos_ids = build_text_masks(ids_np, sorted(special))
         return (
-            np.asarray([ids], np.int32),
+            ids_np,
             np.asarray([mask], bool),
+            self_mask,
+            pos_ids,
             spans,
         )
 
@@ -95,9 +111,10 @@ class GroundedSAMSegmenter:
         if not nouns:
             return []
         img = jnp.asarray(image01, jnp.float32)[None]
-        ids, tmask, spans = self._tokenize_nouns(nouns)
+        ids, tmask, self_mask, pos_ids, spans = self._tokenize_nouns(nouns)
         boxes, token_logits = self._gdino_apply(
-            self.gdino_params, img, jnp.asarray(ids), jnp.asarray(tmask)
+            self.gdino_params, img, jnp.asarray(ids), jnp.asarray(tmask),
+            jnp.asarray(self_mask), jnp.asarray(pos_ids),
         )
         grounded = ground_nouns(
             np.asarray(boxes[0], np.float32),
