@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -46,16 +47,32 @@ def make_cfg_eps_model(
     `unet_apply(latents, t, context, added_cond, capture)` ->
     (eps, captured). With CFG, the UNet runs once on the [uncond; cond]
     2B batch (reference order: TrainableSDPipeline.py:92,135,156 —
-    uncond first). Captured attention maps contain both halves; callers
-    slice the cond half `[B:]` (the reference captures cond-only by
-    splitting the call: AttrConcenTrainableSDPipeline.py:239-279).
+    uncond first). Captured attention maps are reduced to the COND half
+    and bf16 at the source (the reference captures cond-only by
+    splitting the call — AttrConcenTrainableSDPipeline.py:239-279 —
+    and its fp16 autocast materializes half-precision probs anyway);
+    done here, the uncond half never reaches the sampler's scan stack,
+    quartering capture HBM traffic. Gradients to the grounding loss
+    flow through the bf16 cast unchanged in structure.
     """
     do_cfg = null_context is not None and guidance_scale > 1.0
+
+    def _cond_half_bf16(captured, B):
+        if not captured:
+            return captured
+        return jax.tree_util.tree_map(
+            lambda a: a[B:].astype(jnp.bfloat16), captured
+        )
 
     def eps_model(latents, t, capture=False):
         B = latents.shape[0]
         if not do_cfg:
-            return unet_apply(latents, t, context, added_cond, capture)
+            eps, captured = unet_apply(latents, t, context, added_cond, capture)
+            if capture:
+                captured = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), captured
+                )
+            return eps, captured
         lat2 = jnp.concatenate([latents, latents], axis=0)
         ctx2 = jnp.concatenate([null_context, context], axis=0)
         ac2 = None
@@ -66,6 +83,8 @@ def make_cfg_eps_model(
                 for k in added_cond
             }
         eps2, captured = unet_apply(lat2, t, ctx2, ac2, capture)
+        if capture:
+            captured = _cond_half_bf16(captured, B)
         eps_uncond, eps_text = eps2[:B], eps2[B:]
         eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
         if guidance_rescale > 0.0:

@@ -39,10 +39,12 @@ traced (K,) array — no recompilation across steps.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import dtypes as jax_dtypes
 
 from comat_tpu.diffusion.schedulers import (
     SamplerCoeffs,
@@ -92,6 +94,53 @@ def sample_inference(
     )
 
 
+def _zero_cotangent(x):
+    """Symbolic-zero cotangent for a primal of any dtype (float0 for
+    integer primals, as JAX's custom_vjp calling convention requires)."""
+    aval = jax.typeof(x)
+    if jax_dtypes.issubdtype(aval.dtype, jnp.inexact):
+        return jnp.zeros(aval.shape, aval.dtype)
+    return np.zeros(aval.shape, jax_dtypes.float0)
+
+
+def _make_cached_primal_eps(diff_eps_model: Callable):
+    """Cached-primal guided-eps op: the primal *reuses* pass 1's eps
+    (bitwise identical — same params, same input latent, same kernels),
+    so the differentiable replay's forward does ZERO UNet compute; the
+    VJP is the exact vjp of `diff_eps_model` at the same point. This
+    removes the K redundant primal forwards the replay otherwise pays
+    (and subsumes remat: the backward runs fwd+bwd itself, holding one
+    segment's activations at a time).
+
+    `diff_eps_model(diff_tree, aux_tree, x, t) -> eps` must be a pure
+    function of its arguments: differentiable inputs travel in
+    `diff_tree`; every OTHER traced value (frozen towers) travels in
+    `aux_tree`, which receives symbolic-zero cotangents — no cotangent
+    compute for frozen weights, and no closed-over tracers (a custom_vjp
+    bwd closing over jit-trace tracers fails with "No constant handler
+    for DynamicJaxprTracer" when the transpose is traced).
+    """
+
+    @jax.custom_vjp
+    def op(diff_tree, aux_tree, x, t, cached_eps):
+        return cached_eps
+
+    def fwd(diff_tree, aux_tree, x, t, cached_eps):
+        return cached_eps, (diff_tree, aux_tree, x, t)
+
+    def bwd(res, g):
+        diff_tree, aux_tree, x, t = res
+        _, vjp = jax.vjp(
+            lambda d, xx: diff_eps_model(d, aux_tree, xx, t), diff_tree, x
+        )
+        d_diff, d_x = vjp(g)
+        d_aux = jax.tree_util.tree_map(_zero_cotangent, aux_tree)
+        return d_diff, d_aux, d_x, _zero_cotangent(t), jnp.zeros_like(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def sample_comat(
     eps_model: Callable,
     coeffs: SamplerCoeffs,
@@ -103,9 +152,18 @@ def sample_comat(
     eps_model_inference=None,     # no-grad variant (e.g. Pallas flash
                                   # attention over stopped params);
                                   # defaults to eps_model
+    diff_eps_model: Optional[Callable] = None,
+    diff_tree: Any = None,
+    aux_tree: Any = None,
 ) -> SampleResult:
     """Full two-pass CoMat sampling. Differentiable through the K
-    trained steps only (see module docstring)."""
+    trained steps only (see module docstring).
+
+    With `diff_eps_model(diff_tree, aux_tree, x, t) -> eps` given (and
+    capture=False — captured probabilities are primal outputs and force
+    a real forward), the replay uses cached-primal segments: pass 1's
+    eps is the primal and the segment forward costs nothing
+    (see _make_cached_primal_eps)."""
     S = coeffs.timesteps.shape[0]
     K = trained_idx.shape[0]
 
@@ -114,18 +172,30 @@ def sample_comat(
         coeffs, latents0, rng,
     )
 
+    use_cached_primal = diff_eps_model is not None and not capture
+    if use_cached_primal:
+        cached_eps_op = _make_cached_primal_eps(diff_eps_model)
+
     # ---- pass 2: differentiable replay ----
-    # Full remat per trained-step UNet call: the backward recomputes
-    # each step's forward, keeping residency at one step's activations.
-    # (A dots_saveable policy was measured to need 45GB HBM across the
-    # K-segment scan — XLA keeps all segments' saved dots live.)
+    # Cached-primal path: no remat needed — the custom VJP recomputes
+    # the segment forward inside its own backward. Fallback (capture)
+    # path: full remat per trained-step UNet call, keeping residency at
+    # one step's activations. (A dots_saveable policy was measured to
+    # need 45GB HBM across the K-segment scan — XLA keeps all segments'
+    # saved dots live.)
     unet_step = jax.checkpoint(
         lambda x, t: eps_model(x, t, capture),
     )
 
     def segment(x, p):
         # differentiable UNet call at trained position p
-        eps, captured = unet_step(x, coeffs.timesteps[p])
+        if use_cached_primal:
+            eps = cached_eps_op(
+                diff_tree, aux_tree, x, coeffs.timesteps[p], eps_table[p]
+            )
+            captured = {}
+        else:
+            eps, captured = unet_step(x, coeffs.timesteps[p])
         noise = _step_noise(rng, p, x.shape, jnp.float32)
         x, _ = ddpm_step_from_coeffs(coeffs, p, x, eps, noise)
 

@@ -107,7 +107,8 @@ def grounding_losses_for_layer(
 
 
 def comat_grounding_loss(
-    captured: Dict[str, jnp.ndarray],   # key -> (K, B2, heads, HW, 77)
+    captured: Dict[str, jnp.ndarray],   # key -> (K, B, heads, HW, 77)
+                                        # (cond-half bf16 from guidance)
     step_mask: jnp.ndarray,             # (K,) float — attrcon-chosen steps
     masks: jnp.ndarray,                 # (B, W, H0, W0)
     token_idx: jnp.ndarray,

@@ -456,6 +456,23 @@ def _load_safetensors_dir(d: str) -> Dict[str, np.ndarray]:
     return tensors
 
 
+def load_unet_params(path: str, unet_params):
+    """Load ONLY the UNet from a diffusers UNet directory or a single
+    .safetensors file — the reference's --sdxl_unet_path: a separately
+    fine-tuned 512-res SDXL UNet swapped in over the base snapshot
+    (training_utils/pipeline.py:28). Returns (params, missing)."""
+    if os.path.isdir(path):
+        tensors = _load_safetensors_dir(path)
+    else:
+        from safetensors import safe_open
+
+        tensors = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                tensors[k] = f.get_tensor(k)
+    return convert_tree(unet_params, tensors, _unet_hf_name)
+
+
 def load_sd_params(snapshot_dir: str, params, pcfg):
     """Load a diffusers SD snapshot (unet/ vae/ text_encoder/
     [text_encoder_2/]) into a pipeline param tree."""

@@ -104,6 +104,15 @@ def count_params(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 
 
+def merge_params(trainable, frozen):
+    """Recombine a (trainable, frozen) partition (None placeholders in
+    each where the other holds the leaf) into one param tree."""
+    return jax.tree_util.tree_map(
+        lambda a, b: a if a is not None else b, trainable, frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
 def split_lora_params(params) -> Dict[str, Any]:
     """Partition into {"lora": subtree-with-None, "frozen": ...} for
     checkpointing LoRA separately (reference checkpoints save only LoRA:

@@ -265,11 +265,19 @@ class DiffusionPipeline:
         train_text_encoder: bool = False,
         capture: bool = False,
         latents0: Optional[jnp.ndarray] = None,
+        trainable: Any = None,
+        frozen: Any = None,
     ) -> Tuple[jnp.ndarray, SampleResult]:
         """Differentiable online generation. Returns (image, result).
 
         image: (B, H, W, 3) in [0,1] unclamped, differentiable through
         the K trained steps + VAE decode.
+
+        With a (trainable, frozen) partition of `params` supplied (see
+        training.train_step.partition_params) and capture=False, the
+        replay pass runs cached-primal segments — pass 1's eps is reused
+        as the primal and the segment VJP differentiates w.r.t. the
+        trainable subtree only (no cotangents for frozen towers).
         """
         cfg = self.cfg
         B = input_ids.shape[0]
@@ -314,6 +322,43 @@ class DiffusionPipeline:
             None if added is None else {k: sg(v) for k, v in added.items()},
             None if null_added is None else {k: sg(v) for k, v in null_added.items()},
         )
+        # Cached-primal replay (sampler.py _make_cached_primal_eps):
+        # all differentiable inputs of the guided eps — the trainable
+        # subtree and the prompt encodings — travel explicitly in
+        # diff_tree; the frozen towers travel in aux_tree (explicit too,
+        # with symbolic-zero cotangents: custom_vjp functions must not
+        # close over traced values).
+        diff_eps_model = diff_tree = aux_tree = None
+        if trainable is not None and not capture:
+            from comat_tpu.models.lora import merge_params
+
+            diff_tree = {
+                "trainable": trainable,
+                "context": enc.context,
+                "null_context": (
+                    nenc.context if guidance_scale > 1.0 else None
+                ),
+                "added": added,
+                "null_added": null_added,
+            }
+            aux_tree = {"frozen": frozen}
+
+            def diff_eps_model(d, aux, lat, t):
+                p = merge_params(d["trainable"], aux["frozen"])
+                em = make_cfg_eps_model(
+                    lambda l, tt, ctx, ac, cap: self.unet_apply(
+                        p, l, tt, ctx, ac, cap, fast=True
+                    ),
+                    d["context"],
+                    d["null_context"],
+                    guidance_scale,
+                    guidance_rescale,
+                    d["added"],
+                    d["null_added"],
+                )
+                eps, _ = em(lat, t, False)
+                return eps
+
         coeffs = make_sampler_coeffs(
             self.schedule, num_inference_steps, kind="ddpm"
         )
@@ -326,6 +371,8 @@ class DiffusionPipeline:
         res = sample_comat(
             eps_model, coeffs, latents0, rng, trained_idx, interval,
             capture=capture, eps_model_inference=eps_model_inf,
+            diff_eps_model=diff_eps_model, diff_tree=diff_tree,
+            aux_tree=aux_tree,
         )
         # Decoder memory is handled by per-block remat inside
         # VAEDecoder (see models/vae.py).

@@ -139,9 +139,9 @@ class Attention(nn.Module):
             inner_dim, use_bias=False, lora_rank=self.lora_rank,
             dtype=self.dtype, name="to_v",
         )(ctx)
-        # Pallas flash kernel only on the inference path (`fast`):
-        # it has no VJP and cannot emit probs. Differentiable passes
-        # and capture use the XLA path.
+        # `fast` dispatches to the Pallas flash kernel (fwd + custom-VJP
+        # bwd — fine on differentiable passes too); capture needs
+        # materialized probs, which only the XLA path emits.
         out, probs = multi_head_attention(
             q, k, v, self.num_heads, capture_probs=capture,
             use_pallas=None if (fast and not capture) else False,

@@ -266,6 +266,22 @@ def _fwd(q, k, v, want_lse: bool, interpret: bool = False):
             pl.BlockSpec((1, 8, bq), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM)
         )
+    # Fat heads (the VAE's single-head d=512 bottleneck attention) need
+    # scoped-VMEM headroom beyond the 16MB default: when XLA keeps the
+    # kernel output in VMEM for a consumer fusion, the unrolled-loop
+    # temporaries push the stack past the limit (seen at B4 S4096 d512
+    # inside the full train step; the standalone kernel fits). Leave
+    # the swept UNet shapes (d<=160) on the default limit.
+    cparams = (
+        pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+        if d_pad > 160
+        else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        )
+    )
     res = pl.pallas_call(
         functools.partial(
             _flash_fwd_kernel, block_kv=bkv, kv_valid=Skv
@@ -281,9 +297,7 @@ def _fwd(q, k, v, want_lse: bool, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=cparams,
         interpret=interpret,
     )(qf, kf, vf_aug)
     if want_lse:

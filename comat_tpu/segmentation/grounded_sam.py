@@ -47,7 +47,13 @@ class GroundedSAMSegmenter:
         image_size: int = 512,
         box_threshold: float = 0.3,
         text_threshold: float = 0.25,
+        gdino_resize: Optional[int] = None,
     ):
+        """`gdino_resize`: GroundingDINO input side length — the
+        reference resizes to 800 and ImageNet-normalizes
+        (gsam_interface.py:39-45); FastSAM runs at the native image size
+        (imgsz=(width, height), :67). The trainer passes 800; None
+        (default) feeds DINO natively — right for tiny test configs."""
         from comat_tpu.text.tokenizer import HashTokenizer
 
         self.sam_cfg = sam_cfg or YoloSegConfig.fastsam_x()
@@ -59,13 +65,16 @@ class GroundedSAMSegmenter:
         self.text_threshold = text_threshold
         self.sam = YoloV8Seg(self.sam_cfg)
         self.gdino = GroundingDetector(self.gdino_cfg)
+        self.gdino_resize = gdino_resize
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         img = jnp.zeros((1, image_size, image_size, 3))
+        gsize = gdino_resize or image_size
+        gimg = jnp.zeros((1, gsize, gsize, 3))
         ids = jnp.zeros((1, self.gdino_cfg.max_text_len), jnp.int32)
         mask = jnp.ones((1, self.gdino_cfg.max_text_len), bool)
         self.sam_params = sam_params or self.sam.init(rng, img)
         self.gdino_params = gdino_params or self.gdino.init(
-            jax.random.fold_in(rng, 1), img, ids, mask
+            jax.random.fold_in(rng, 1), gimg, ids, mask
         )
         self._sam_apply = jax.jit(self.sam.apply)
         self._gdino_apply = jax.jit(self.gdino.apply)
@@ -111,9 +120,20 @@ class GroundedSAMSegmenter:
         if not nouns:
             return []
         img = jnp.asarray(image01, jnp.float32)[None]
+        # DINO preprocessing (reference gsam_interface.py:39-45,84):
+        # resize shorter side to 800 (square images -> 800x800) and
+        # ImageNet-normalize; boxes come back normalized cxcywh, so no
+        # coordinate mapping is needed afterwards.
+        gimg = img
+        if self.gdino_resize and (H, W) != (self.gdino_resize,) * 2:
+            s = self.gdino_resize
+            gimg = jax.image.resize(gimg, (1, s, s, 3), method="bilinear")
+        mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+        std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+        gimg = (gimg - mean) / std
         ids, tmask, self_mask, pos_ids, spans = self._tokenize_nouns(nouns)
         boxes, token_logits = self._gdino_apply(
-            self.gdino_params, img, jnp.asarray(ids), jnp.asarray(tmask),
+            self.gdino_params, gimg, jnp.asarray(ids), jnp.asarray(tmask),
             jnp.asarray(self_mask), jnp.asarray(pos_ids),
         )
         grounded = ground_nouns(

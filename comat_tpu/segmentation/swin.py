@@ -7,9 +7,10 @@ Swin v1: 4x4 patch embed, windowed W-MSA/SW-MSA attention with relative
 position bias, patch-merging downsampling; returns the stage 2/3/4
 feature maps GroundingDINO consumes (strides 8/16/32).
 
-Inference-only (frozen in the reference); static shapes (input must be
-divisible by window_size * 8). Cyclic shift uses jnp.roll — a fixed
-permutation, XLA-friendly.
+Inference-only (frozen in the reference); static shapes at trace time,
+any spatial size (feature maps are zero-padded to window multiples and
+cropped back, exactly like torch's F.pad path). Cyclic shift uses
+jnp.roll — a fixed permutation, XLA-friendly.
 """
 
 from __future__ import annotations
@@ -112,19 +113,30 @@ class SwinBlock(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         w = self.window
+        # torch Swin pads feature maps to window multiples with zeros
+        # (F.pad in SwinTransformerBlock.forward) and crops after the
+        # merge; padded pixels DO participate in W-MSA softmax (only the
+        # shift-group mask applies) — replicated exactly so checkpoint
+        # behavior matches at any input size.
+        Hp = -(-H // w) * w
+        Wp = -(-W // w) * w
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if Hp != H or Wp != W:
+            h = jnp.pad(h, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         if self.shift:
             h = jnp.roll(h, (-self.shift, -self.shift), axis=(1, 2))
-            mask = self._attn_mask(H, W)
+            mask = self._attn_mask(Hp, Wp)
         else:
             mask = None
         win = _window_partition(h, w)
         win = WindowAttention(self.heads, w, self.dtype, name="attn")(
             win, mask
         )
-        h = _window_merge(win, w, B, H, W)
+        h = _window_merge(win, w, B, Hp, Wp)
         if self.shift:
             h = jnp.roll(h, (self.shift, self.shift), axis=(1, 2))
+        if Hp != H or Wp != W:
+            h = h[:, :H, :W]
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
@@ -174,8 +186,14 @@ class SwinBackbone(nn.Module):
                     nn.LayerNorm(dtype=dt, name=f"out_norm{stage}")(x)
                 )
             if stage < len(cfg.depths) - 1:
-                # patch merging: 2x2 concat + linear to 2C
+                # patch merging: 2x2 concat + linear to 2C (torch pads
+                # odd dims with zeros first — PatchMerging.forward)
                 B, H, W, C = x.shape
+                if H % 2 or W % 2:
+                    x = jnp.pad(
+                        x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0))
+                    )
+                    B, H, W, C = x.shape
                 x = x.reshape(B, H // 2, 2, W // 2, 2, C)
                 x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
                     B, H // 2, W // 2, 4 * C

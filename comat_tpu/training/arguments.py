@@ -32,6 +32,14 @@ def parse_args(argv=None):
     p.add_argument("--caption_model", type=str, default="Blip", nargs="+")
     p.add_argument("--reward_weights", type=float, default=None, nargs="+")
     p.add_argument("--seg_model", type=str, default="gsam")
+    # Segmentation weights (the reference hardcodes FastSAM-x.pt and
+    # the GroundingDINO swin-t release — gsam_interface.py:24-37)
+    p.add_argument("--fastsam_checkpoint", type=str, default=None,
+                   help="FastSAM-x .pt (or re-exported state dict)")
+    p.add_argument("--gdino_checkpoint", type=str, default=None,
+                   help="groundingdino_swint_ogc.pth")
+    p.add_argument("--gdino_tokenizer_vocab", type=str, default=None,
+                   help="bert-base-uncased vocab.txt for GroundingDINO")
     p.add_argument("--K", type=int, default=5)
     p.add_argument("--total_step", type=int, default=50)
     p.add_argument("--scheduler", type=str, default="DDPM")

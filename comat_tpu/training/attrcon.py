@@ -21,8 +21,6 @@ from comat_tpu.text.linguistics import extract_attribute_groups, pad_groups
 
 
 def make_attrcon_extra_losses(pipeline, holder: SegmenterHolder, cfg):
-    do_cfg = cfg.guidance_scale > 1.0
-
     def extra(params, batch, image, result, rng):
         K = cfg.K
         A = min(cfg.attrcon_train_steps, K)
@@ -31,7 +29,6 @@ def make_attrcon_extra_losses(pipeline, holder: SegmenterHolder, cfg):
         )
         step_mask = jnp.zeros((K,), jnp.float32).at[draws].set(1.0)
         masks = holder.device_masks(image)
-        B = image.shape[0]
         token_loss, pixel_loss = comat_grounding_loss(
             result.captured,
             step_mask,
@@ -39,7 +36,9 @@ def make_attrcon_extra_losses(pipeline, holder: SegmenterHolder, cfg):
             batch["token_idx"],
             batch["token_valid"],
             batch["word_valid"],
-            cond_offset=B if do_cfg else 0,
+            # maps arrive cond-half-only from the eps model (guidance
+            # slices at the source)
+            cond_offset=0,
             capture_layers=pipeline.cfg.capture_layers,
         )
         add = (

@@ -147,11 +147,7 @@ def partition_disc_params(d_params) -> Tuple[Any, Any]:
     return trainable, frozen
 
 
-def merge_params(trainable, frozen):
-    return jax.tree_util.tree_map(
-        lambda a, b: a if a is not None else b, trainable, frozen,
-        is_leaf=lambda x: x is None,
-    )
+from comat_tpu.models.lora import merge_params  # noqa: E402 (re-export)
 
 
 def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
@@ -289,6 +285,10 @@ def make_train_step(
             input_ids2=batch.get("input_ids2"),
             train_text_encoder=cfg.train_text_encoder,
             capture=cfg.attrcon,
+            # the (trainable, frozen) partition enables cached-primal
+            # replay segments (diff w.r.t. the trainable subtree only)
+            trainable=trainable,
+            frozen=frozen,
         )
 
         # ---- reward-gradient tap (training_script.py:644-651) ----

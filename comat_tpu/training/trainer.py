@@ -281,10 +281,14 @@ class Trainer:
             from comat_tpu.training.attrcon import make_attrcon_extra_losses
 
             seg_path = getattr(args, "precomputed_masks", None)
-            segmenter = (
-                PrecomputedMaskSegmenter(seg_path) if seg_path
-                else CenterPriorSegmenter()
-            )
+            if seg_path:
+                segmenter = PrecomputedMaskSegmenter(seg_path)
+            elif args.seg_model == "gsam" and not tiny:
+                segmenter = self._build_gsam_segmenter(args)
+            else:
+                # tiny test runs / explicit non-gsam choice: a cheap
+                # center-prior stand-in keeps the loss path exercised
+                segmenter = CenterPriorSegmenter()
             self.seg_holder = SegmenterHolder(segmenter)
             extra_losses = make_attrcon_extra_losses(
                 self.pipeline, self.seg_holder, self.tcfg
@@ -324,13 +328,70 @@ class Trainer:
         self._step_times = []
 
     # ---- weights ----
+    def _build_gsam_segmenter(self, args):
+        """The reference's default segmenter (--seg_model gsam):
+        FastSAM proposals + GroundingDINO grounding
+        (attr_concen_utils/gsam_interface.py). Weights load from
+        --fastsam_checkpoint / --gdino_checkpoint when given; without
+        them the full stack still runs (random weights — masks are
+        noise, flagged loudly)."""
+        from comat_tpu.segmentation.grounded_sam import GroundedSAMSegmenter
+
+        tok = None
+        vocab = getattr(args, "gdino_tokenizer_vocab", None)
+        if vocab:
+            from comat_tpu.text.tokenizer import BertWordPieceTokenizer
+
+            tok = BertWordPieceTokenizer(vocab)
+        seg = GroundedSAMSegmenter(
+            tokenizer=tok, image_size=args.resolution,
+            gdino_resize=800,  # reference: RandomResize([800]) into DINO
+        )
+        loaded = []
+        if getattr(args, "fastsam_checkpoint", None):
+            from comat_tpu.segmentation.checkpoints import (
+                load_fastsam_checkpoint,
+            )
+
+            seg.sam_params, missing = load_fastsam_checkpoint(
+                args.fastsam_checkpoint, seg.sam_params
+            )
+            if missing:
+                self.logger.warning(
+                    "fastsam import: %d unmapped leaves (first: %s)",
+                    len(missing), missing[:3],
+                )
+            loaded.append("fastsam")
+        if getattr(args, "gdino_checkpoint", None):
+            from comat_tpu.segmentation.checkpoints import (
+                load_gdino_checkpoint,
+            )
+
+            seg.gdino_params, missing = load_gdino_checkpoint(
+                args.gdino_checkpoint, seg.gdino_params
+            )
+            if missing:
+                self.logger.warning(
+                    "gdino import: %d unmapped leaves (first: %s)",
+                    len(missing), missing[:3],
+                )
+            loaded.append("gdino")
+        if len(loaded) < 2:
+            self.logger.warning(
+                "GroundedSAM running with RANDOM weights for %s — masks "
+                "will be noise. Pass --fastsam_checkpoint / "
+                "--gdino_checkpoint for real segmentation.",
+                sorted({"fastsam", "gdino"} - set(loaded)),
+            )
+        return seg
+
     def _maybe_load_pretrained(self, params):
         path = self.args.pretrain_model
         if path and os.path.isdir(path):
             try:
                 from comat_tpu.models.hf_import import load_sd_params
 
-                return load_sd_params(path, params, self.pcfg)
+                params = load_sd_params(path, params, self.pcfg)
             except Exception as e:  # zero-egress envs ship no weights
                 self.logger.warning(
                     "could not load pretrained weights from %s (%s); "
@@ -340,6 +401,23 @@ class Trainer:
             self.logger.warning(
                 "pretrained weights unavailable at %r; random init", path
             )
+        # --sdxl_unet_path: swap in a separately fine-tuned UNet over
+        # the base snapshot (reference training_utils/pipeline.py:28)
+        unet_path = getattr(self.args, "sdxl_unet_path", None)
+        if unet_path:
+            from comat_tpu.models.hf_import import load_unet_params
+
+            params = dict(params)
+            params["unet"], missing = load_unet_params(
+                unet_path, params["unet"]
+            )
+            if missing:
+                self.logger.warning(
+                    "sdxl_unet_path: %d unmapped params (first: %s)",
+                    len(missing), missing[:3],
+                )
+            else:
+                self.logger.info("loaded fine-tuned UNet from %s", unet_path)
         return params
 
     def _init_blip(self, rng):

@@ -56,6 +56,41 @@ def test_grounded_sam_protocol():
     assert seg(img, []) == []
 
 
+def test_swin_non_multiple_size_padding():
+    """Feature maps that are NOT window multiples must work (torch Swin
+    zero-pads to window multiples and crops back — F.pad path). 64px at
+    window 4: stage maps 16->8->4->2, where 16 and 8 aren't multiples of
+    window*shift patterns exercised at odd sizes like 72 (18x18 maps)."""
+    from comat_tpu.segmentation.swin import SwinBackbone, SwinConfig
+
+    cfg = SwinConfig.tiny_test()  # window 4
+    model = SwinBackbone(cfg)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 72, 72, 3))
+    params = model.init(jax.random.PRNGKey(1), img)
+    outs = model.apply(params, img)
+    # strides 8/16/32 with ceil rounding through odd merges
+    assert outs[0].shape[1:3] == (9, 9)
+    assert outs[1].shape[1:3] == (5, 5)
+    assert outs[2].shape[1:3] == (3, 3)
+    for o in outs:
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+
+
+def test_swin_padding_matches_unpadded_when_multiple():
+    """Padding machinery is a no-op at window-multiple sizes (same
+    params, same output)."""
+    from comat_tpu.segmentation.swin import SwinBackbone, SwinConfig
+
+    cfg = SwinConfig.tiny_test()
+    model = SwinBackbone(cfg)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(1), img)
+    outs = model.apply(params, img)
+    assert outs[0].shape[1:3] == (8, 8)
+    for o in outs:
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+
+
 def test_swin_backbone_shapes():
     from comat_tpu.segmentation.swin import SwinBackbone, SwinConfig
 

@@ -135,6 +135,36 @@ def test_convert_values_roundtrip():
     assert len(missing) > 0
 
 
+def test_load_unet_params_from_file(tmp_path):
+    """--sdxl_unet_path loader: a single-file safetensors UNet swaps in
+    over the tree (reference training_utils/pipeline.py:28)."""
+    from safetensors.numpy import save_file
+
+    from comat_tpu.models.hf_import import load_unet_params
+
+    model = UNet2DCondition(UNetConfig.tiny(), lora_rank=0)
+    params = model.init(
+        K, jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 32)),
+    )
+    rng = np.random.RandomState(1)
+    conv_in_hf = rng.randn(32, 4, 3, 3).astype(np.float32)
+    f = tmp_path / "diffusion_pytorch_model.safetensors"
+    save_file({"conv_in.weight": conv_in_hf}, str(f))
+
+    out, missing = load_unet_params(str(f), params)
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["conv_in"]["kernel"]),
+        np.transpose(conv_in_hf, (2, 3, 1, 0)),
+    )
+    # directory form loads the same file
+    out2, _ = load_unet_params(str(tmp_path), params)
+    np.testing.assert_allclose(
+        np.asarray(out2["params"]["conv_in"]["kernel"]),
+        np.transpose(conv_in_hf, (2, 3, 1, 0)),
+    )
+
+
 def test_blip_mapping_complete():
     from comat_tpu.config import BLIPConfig
     from comat_tpu.models.blip import BLIPCaptioner

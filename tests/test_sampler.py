@@ -133,6 +133,65 @@ def test_capture_stacks_over_trained_steps(setup):
     assert float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.parametrize("start", [0, 2])
+def test_cached_primal_matches_plain_path(setup, start):
+    """Cached-primal replay (diff_eps_model + diff_tree) must be
+    bitwise-value and gradient-equivalent to the remat replay path."""
+    coeffs, w, x0, rng = setup
+    trained = jnp.arange(start, start + K * INTERVAL, INTERVAL)
+
+    def diff_eps_model(d, aux, x, t):
+        eps, _ = _make_eps_model(d["w"])(x, t, False)
+        return eps + 0.0 * aux["c"]
+
+    def loss_cached(w_):
+        res = sample_comat(
+            _make_eps_model(w_), coeffs, x0, rng, trained, INTERVAL,
+            diff_eps_model=diff_eps_model, diff_tree={"w": w_},
+            aux_tree={"c": jnp.zeros(())},
+        )
+        return (res.latents ** 2).mean()
+
+    def loss_plain(w_):
+        res = sample_comat(
+            _make_eps_model(w_), coeffs, x0, rng, trained, INTERVAL
+        )
+        return (res.latents ** 2).mean()
+
+    # jit matters: custom_vjp closure bugs (tracer leaks) only surface
+    # when the transpose is traced under an outer jit
+    v1, g1 = jax.jit(jax.value_and_grad(loss_cached))(w)
+    v2, g2 = jax.value_and_grad(loss_plain)(w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-8
+    )
+    assert float(jnp.abs(g1).sum()) > 0
+
+
+def test_cached_primal_x0_grad_zero(setup):
+    """Reference semantics hold on the cached path too: the initial
+    latent is consumed by the stop-gradient pass 1 only, so it carries
+    no gradient (TrainableSDPipeline.py:133)."""
+    coeffs, w, x0, rng = setup
+    trained = jnp.arange(1, 1 + K * INTERVAL, INTERVAL)
+
+    def diff_eps_model(d, aux, x, t):
+        eps, _ = _make_eps_model(d["w"])(x, t, False)
+        return eps + 0.0 * aux["c"]
+
+    def loss(x0_):
+        res = sample_comat(
+            _make_eps_model(w), coeffs, x0_, rng, trained, INTERVAL,
+            diff_eps_model=diff_eps_model, diff_tree={"w": w},
+            aux_tree={"c": jnp.zeros(())},
+        )
+        return (res.latents ** 2).mean()
+
+    g = jax.grad(loss)(x0)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
+
+
 def test_generate_dpmpp_pipeline_integration():
     """pipeline.generate(kind='dpmpp') end-to-end on the tiny pipeline."""
     import numpy as np

@@ -92,6 +92,44 @@ def test_train_step_end_to_end():
     assert np.isfinite(float(metrics3["step_loss"]))
 
 
+def test_forward_cached_primal_matches_merged_path():
+    """pipeline.forward with the (trainable, frozen) partition
+    (cached-primal replay) must produce the same image and the same
+    LoRA gradients as the merged-params (remat replay) path."""
+    pipe, _, params, _, batch, tcfg = _build(2)
+    trainable, frozen = partition_params(params)
+    rng = jax.random.PRNGKey(3)
+    trained_idx = jnp.arange(1, 1 + tcfg.K * tcfg.interval, tcfg.interval)
+
+    def image_sum(tr, use_partition):
+        p = merge_params(tr, frozen)
+        kw = dict(trainable=tr, frozen=frozen) if use_partition else {}
+        img, _ = pipe.forward(
+            p, rng, batch["input_ids"], batch["null_ids"], trained_idx,
+            num_inference_steps=tcfg.total_step, K=tcfg.K,
+            guidance_scale=tcfg.guidance_scale,
+            eos_positions=batch["eos_positions"], **kw,
+        )
+        return (img.astype(jnp.float32) ** 2).mean()
+
+    # jitted: custom_vjp tracer-leak bugs only surface under jit
+    v1, g1 = jax.jit(jax.value_and_grad(lambda t: image_sum(t, True)))(
+        trainable
+    )
+    v2, g2 = jax.value_and_grad(lambda t: image_sum(t, False))(trainable)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    l1 = [x for x in jax.tree_util.tree_leaves(g1)]
+    l2 = [x for x in jax.tree_util.tree_leaves(g2)]
+    assert len(l1) == len(l2) and len(l1) > 0
+    total = 0.0
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )
+        total += float(jnp.abs(a).sum())
+    assert total > 0
+
+
 def test_partition_merge_roundtrip():
     pipe, _, params, _, _, _ = _build(2)
     t, f = partition_params(params)
