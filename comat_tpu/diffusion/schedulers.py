@@ -207,6 +207,27 @@ def ddpm_step_from_coeffs(
     return prev.astype(sample.dtype), pred_x0.astype(sample.dtype)
 
 
+def v_to_eps(
+    schedule: DiffusionSchedule,
+    t: jnp.ndarray,
+    sample: jnp.ndarray,
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Convert a v-prediction model output to epsilon at timestep t
+    (--prediction_type v_prediction; diffusers DDPMScheduler.step's
+    `v_prediction` branch computes x0 = a*x - s*v, which equals running
+    the epsilon branch with eps = a*v + s*x for a=sqrt(acp_t),
+    s=sqrt(1-acp_t) — exact, so every eps-based sampler table here
+    works unchanged)."""
+    acp = schedule.alphas_cumprod[t].astype(jnp.float32)
+    while acp.ndim < sample.ndim:
+        acp = acp[..., None]
+    a = jnp.sqrt(acp)
+    s = jnp.sqrt(1.0 - acp)
+    out = a * v.astype(jnp.float32) + s * sample.astype(jnp.float32)
+    return out.astype(v.dtype)
+
+
 def add_noise(
     schedule: DiffusionSchedule,
     sample: jnp.ndarray,

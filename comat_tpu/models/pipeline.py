@@ -50,6 +50,10 @@ class PipelineConfig:
     lora_rank: int = 32
     text_lora_rank: int = 0
     resolution: int = 512
+    # --prediction_type: "epsilon" (SD1.5/SDXL default) or
+    # "v_prediction" (converted to eps at the unet_apply boundary so
+    # every eps-based sampler table applies unchanged)
+    prediction_type: str = "epsilon"
 
     @property
     def latent_size(self) -> int:
@@ -67,6 +71,7 @@ def make_pipeline_config(
     text_lora_rank: int = 0,
     resolution: int = 512,
     tiny: bool = False,
+    prediction_type: str = "epsilon",
 ) -> PipelineConfig:
     attrcon = "attrcon" in name
     if name.startswith("sd_1_5"):
@@ -80,6 +85,7 @@ def make_pipeline_config(
                 lora_rank=lora_rank,
                 text_lora_rank=text_lora_rank,
                 resolution=resolution,
+                prediction_type=prediction_type,
             )
         return PipelineConfig(
             unet=UNetConfig.sd15(),
@@ -90,6 +96,7 @@ def make_pipeline_config(
             lora_rank=lora_rank,
             text_lora_rank=text_lora_rank,
             resolution=resolution,
+            prediction_type=prediction_type,
         )
     if name.startswith("sdxl"):
         if tiny:
@@ -106,6 +113,7 @@ def make_pipeline_config(
                 lora_rank=lora_rank,
                 text_lora_rank=text_lora_rank,
                 resolution=resolution,
+                prediction_type=prediction_type,
             )
         return PipelineConfig(
             unet=UNetConfig.sdxl(),
@@ -118,6 +126,7 @@ def make_pipeline_config(
             lora_rank=lora_rank,
             text_lora_rank=text_lora_rank,
             resolution=resolution,
+            prediction_type=prediction_type,
         )
     raise ValueError(f"unknown pipeline name {name!r}")
 
@@ -233,11 +242,16 @@ class DiffusionPipeline:
         self, params, latents, t, context, added_cond=None, capture=False,
         fast=False,
     ):
-        return self.unet.apply(
+        out, captured = self.unet.apply(
             params["unet"], latents, t, context, added_cond,
             capture=capture, capture_layers=self.cfg.capture_layers,
             fast=fast,
         )
+        if self.cfg.prediction_type == "v_prediction":
+            from comat_tpu.diffusion.schedulers import v_to_eps
+
+            out = v_to_eps(self.schedule, t, latents, out)
+        return out, captured
 
     def decode_image(self, params, latents: jnp.ndarray) -> jnp.ndarray:
         """latents -> image in [0,1]-ish (unclamped, matching

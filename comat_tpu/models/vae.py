@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from comat_tpu.config import VAEConfig
+from comat_tpu.models.conv import Conv3x3
 
 
 class VAEResnetBlock(nn.Module):
@@ -29,13 +30,11 @@ class VAEResnetBlock(nn.Module):
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype,
                          name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
@@ -85,7 +84,7 @@ class VAEDecoder(nn.Module):
         z = nn.Conv(cfg.latent_channels, (1, 1), dtype=dt,
                     name="post_quant_conv")(z.astype(dt))
         rev = tuple(reversed(cfg.block_out_channels))
-        h = nn.Conv(rev[0], (3, 3), padding=1, dtype=dt, name="conv_in")(z)
+        h = Conv3x3(rev[0], dtype=dt, name="conv_in")(z)
         h = Res(rev[0], g, dt, name="mid_resnet_0")(h)
         h = VAEAttention(g, dt, name="mid_attn")(h)
         h = Res(rev[0], g, dt, name="mid_resnet_1")(h)
@@ -95,11 +94,10 @@ class VAEDecoder(nn.Module):
             if i < len(rev) - 1:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
-                h = nn.Conv(ch, (3, 3), padding=1, dtype=dt,
-                            name=f"up_{i}_upsample")(h)
+                h = Conv3x3(ch, dtype=dt, name=f"up_{i}_upsample")(h)
         h = nn.GroupNorm(g, epsilon=1e-6, dtype=dt, name="conv_norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=jnp.float32,
+        return Conv3x3(cfg.in_channels, dtype=jnp.float32,
                        name="conv_out")(h)
 
 
@@ -112,7 +110,7 @@ class VAEEncoder(nn.Module):
         cfg = self.cfg
         dt = cfg.dtype
         g = cfg.norm_num_groups
-        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dt,
+        h = Conv3x3(cfg.block_out_channels[0], dtype=dt,
                     name="conv_in")(x.astype(dt))
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
@@ -126,8 +124,8 @@ class VAEEncoder(nn.Module):
         h = VAEResnetBlock(ch, g, dt, name="mid_resnet_1")(h)
         h = nn.GroupNorm(g, epsilon=1e-6, dtype=dt, name="conv_norm_out")(h)
         h = nn.silu(h)
-        h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
-                    dtype=jnp.float32, name="conv_out")(h)
+        h = Conv3x3(2 * cfg.latent_channels, dtype=jnp.float32,
+                    name="conv_out")(h)
         h = nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=jnp.float32,
                     name="quant_conv")(h)
         mean, logvar = jnp.split(h, 2, axis=-1)

@@ -109,7 +109,9 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default="comat-output")
     p.add_argument("--logging_dir", type=str, default="logs")
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--max_train_steps", type=int, default=100)
+    # None -> derived from --num_train_epochs (reference
+    # training_script.py:287-288)
+    p.add_argument("--max_train_steps", type=int, default=None)
     p.add_argument("--num_train_epochs", type=int, default=100)
     p.add_argument("--validation_prompts", type=str, default=None)
     p.add_argument("--validation_steps", type=int, default=100)

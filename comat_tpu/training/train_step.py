@@ -60,6 +60,10 @@ class TrainConfig:
     mask_pixel_loss_weight: float = 5e-5
     gradient_accumulation_steps: int = 1
     use_8bit_adam: bool = False     # --use_8bit_adam
+    # --textenc_lora_lr: separate LR for text-encoder params (the
+    # reference builds a second param group — training_script.py:
+    # 239-252); None = one LR for everything
+    textenc_lr: Optional[float] = None
 
     @property
     def interval(self) -> int:
@@ -152,20 +156,43 @@ from comat_tpu.models.lora import merge_params  # noqa: E402 (re-export)
 
 def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
     lr = lr_schedule if lr_schedule is not None else cfg.learning_rate
-    if cfg.use_8bit_adam:
-        # --use_8bit_adam (reference: bitsandbytes AdamW8bit,
-        # training_script.py:216-223) — int8 blockwise moment storage
-        from comat_tpu.training.optim8bit import adamw_8bit
 
-        adam = adamw_8bit(
-            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+    def make_adam(lr_):
+        if cfg.use_8bit_adam:
+            # --use_8bit_adam (reference: bitsandbytes AdamW8bit,
+            # training_script.py:216-223) — int8 blockwise moments
+            from comat_tpu.training.optim8bit import adamw_8bit
+
+            return adamw_8bit(
+                lr_, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+                weight_decay=cfg.adam_weight_decay,
+            )
+        return optax.adamw(
+            lr_, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
             weight_decay=cfg.adam_weight_decay,
+        )
+
+    if cfg.textenc_lr is not None:
+        # separate text-encoder LR group; grad clipping stays joint
+        # over all trainables, like accelerate clip_grad_norm_
+        # (training_script.py:659-664)
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: (
+                    "text"
+                    if str(getattr(path[0], "key", path[0])) in
+                    ("text", "text2")
+                    else "main"
+                ),
+                params,
+            )
+
+        adam = optax.multi_transform(
+            {"main": make_adam(lr), "text": make_adam(cfg.textenc_lr)},
+            labels,
         )
     else:
-        adam = optax.adamw(
-            lr, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
-            weight_decay=cfg.adam_weight_decay,
-        )
+        adam = make_adam(lr)
     opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm), adam,
     )

@@ -88,6 +88,9 @@ class Trainer:
             text_lora_rank=args.lora_rank if args.train_text_encoder_lora else 0,
             resolution=args.resolution,
             tiny=tiny,
+            # reference --prediction_type: None = the model's own
+            # (epsilon for SD1.5/SDXL); "v_prediction" supported
+            prediction_type=args.prediction_type or "epsilon",
         )
         self.pipeline = DiffusionPipeline(self.pcfg)
         rng = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
@@ -154,6 +157,11 @@ class Trainer:
             mask_pixel_loss_weight=args.mask_pixel_loss_weight,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             use_8bit_adam=args.use_8bit_adam,
+            textenc_lr=(
+                args.textenc_lora_lr
+                if (args.tune_text_encoder or args.train_text_encoder_lora)
+                else None
+            ),
         )
 
         self.optimizer = make_optimizer(self.tcfg, _lr_schedule(args))
@@ -459,6 +467,10 @@ class Trainer:
     def train(self):
         args = self.args
         steps_per_epoch = max(len(self.dataset), 1)
+        if args.max_train_steps is None:
+            # reference: max steps derived from --num_train_epochs when
+            # not given (training_script.py:287-288)
+            args.max_train_steps = args.num_train_epochs * steps_per_epoch
         num_epochs = max(
             1, -(-args.max_train_steps // steps_per_epoch)
         )
@@ -602,16 +614,23 @@ class Trainer:
         enc = self.clip_tok(prompts, max_length=self.pcfg.text.max_length)
         null = self.clip_tok([""] * len(prompts),
                              max_length=self.pcfg.text.max_length)
-        # seeded generator for reproducible validation images
-        # (reference :465)
-        rng = jax.random.PRNGKey(args.seed or 0)
-        images = self.pipeline.generate(
-            params, rng,
-            jnp.asarray(enc["input_ids"]),
-            jnp.asarray(null["input_ids"]),
-            num_inference_steps=min(args.total_step, 25),
-            guidance_scale=args.cfg_scale,
-            eos_positions=jnp.asarray(enc["eos_positions"]),
-        )
-        self.metrics.log_images("validation", np.asarray(images),
-                                self.global_step)
+        # The reference swaps in a DPM++ eval scheduler and generates
+        # --num_validation_images rounds per prompt with a seeded
+        # generator (training_script.py:428-489).
+        rounds = max(1, getattr(args, "num_validation_images", 1) or 1)
+        for r in range(rounds):
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed or 0), r
+            )
+            images = self.pipeline.generate(
+                params, rng,
+                jnp.asarray(enc["input_ids"]),
+                jnp.asarray(null["input_ids"]),
+                num_inference_steps=min(args.total_step, 25),
+                guidance_scale=args.cfg_scale,
+                eos_positions=jnp.asarray(enc["eos_positions"]),
+                kind="dpmpp",
+            )
+            self.metrics.log_images(
+                f"validation_{r}", np.asarray(images), self.global_step
+            )

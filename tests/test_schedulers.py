@@ -145,3 +145,24 @@ def test_dpmpp_2m_converges_to_x0():
     out = sample_dpmpp_2m(eps_model, schedule, 20, x_T)
     err = float(jnp.abs(out - x0_true).max())
     assert err < 5e-2, err
+
+
+def test_v_to_eps_inverts_v_parameterization():
+    """v = a*eps - s*x0 and x_t = a*x0 + s*eps  =>  v_to_eps(t, x_t, v)
+    recovers eps exactly (--prediction_type v_prediction support)."""
+    import jax
+    import jax.numpy as jnp
+    from comat_tpu.diffusion.schedulers import v_to_eps
+
+    schedule = make_schedule()
+    k = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(jax.random.fold_in(k, 1), (2, 4, 4, 4))
+    eps = jax.random.normal(jax.random.fold_in(k, 2), (2, 4, 4, 4))
+    t = jnp.asarray([7, 541], jnp.int32)
+    acp = schedule.alphas_cumprod[t][:, None, None, None]
+    a, s = jnp.sqrt(acp), jnp.sqrt(1.0 - acp)
+    x_t = a * x0 + s * eps
+    v = a * eps - s * x0
+    got = v_to_eps(schedule, t, x_t, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(eps),
+                               rtol=1e-5, atol=1e-6)

@@ -203,3 +203,47 @@ def test_train_step_dp_plus_tp_mesh():
         and not v.sharding.is_fully_replicated
     ]
     assert sharded, "expected to_q kernels sharded over model axis"
+
+
+def test_textenc_lr_group():
+    """--textenc_lora_lr: text-encoder leaves update with their own LR
+    (reference training_script.py:239-252)."""
+    import optax
+
+    tcfg = TrainConfig(learning_rate=1e-2, textenc_lr=1e-4,
+                       adam_weight_decay=0.0, max_grad_norm=1e9)
+    opt = make_optimizer(tcfg)
+    params = {"unet": jnp.ones((4,)), "text": jnp.ones((4,))}
+    state = opt.init(params)
+    grads = {"unet": jnp.ones((4,)), "text": jnp.ones((4,))}
+    updates, _ = opt.update(grads, state, params)
+    # first Adam step is -lr * sign-ish: ratio of magnitudes = lr ratio
+    r = float(jnp.abs(updates["unet"][0]) / jnp.abs(updates["text"][0]))
+    np.testing.assert_allclose(r, 100.0, rtol=1e-3)
+
+
+def test_v_prediction_pipeline_generates():
+    """prediction_type='v_prediction' runs the full pipeline (the
+    conversion sits at the unet_apply boundary)."""
+    from comat_tpu.models.pipeline import (
+        DiffusionPipeline, make_pipeline_config,
+    )
+    from comat_tpu.text.tokenizer import HashTokenizer
+
+    pcfg = make_pipeline_config(
+        "sd_1_5", lora_rank=0, resolution=RES, tiny=True,
+        prediction_type="v_prediction",
+    )
+    pipe = DiffusionPipeline(pcfg)
+    k = jax.random.PRNGKey(0)
+    params = pipe.init_params(k)
+    tok = HashTokenizer(1000)
+    enc = tok(["a cat"], max_length=pcfg.text.max_length)
+    null = tok([""], max_length=pcfg.text.max_length)
+    img = pipe.generate(
+        params, k, jnp.asarray(enc["input_ids"]),
+        jnp.asarray(null["input_ids"]), num_inference_steps=4,
+        eos_positions=jnp.asarray(enc["eos_positions"]),
+    )
+    assert img.shape == (1, RES, RES, 3)
+    assert np.isfinite(np.asarray(img)).all()

@@ -23,13 +23,34 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, iters=3, warmup=1):
+    """Through the axon relay, block_until_ready under-reports small
+    ops (async dispatch): force a real device->host readback of one
+    element to close each timing window."""
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf.ravel()[0])
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def timeit_chained(fn, params, x, extra, iters=10):
+    """Per-iteration device time for fn(params, x, *extra) -> y with
+    y.shape == x.shape: chain y back into x so iterations serialize on
+    the device, and read back once. Removes relay dispatch pipelining
+    from the measurement."""
+    y = fn(params, x, *extra)
+    jax.device_get(jax.tree_util.tree_leaves(y)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = fn(params, x, *extra)
+    jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0])
     return (time.perf_counter() - t0) / iters
 
 
@@ -54,10 +75,12 @@ def main():
     t = jnp.zeros((2 * B,), jnp.int32)
     unet_fwd = jax.jit(
         lambda p, l, tt, c: pipe.unet_apply(p, l, tt, c, fast=True)[0]
+        .astype(l.dtype)  # chainable: output dtype == input dtype
     )
     c = unet_fwd.lower(params, lat, t, ctx).compile()
     f_unet = float(c.cost_analysis()["flops"])
-    dt_unet = timeit(c, params, lat, t, ctx, iters=10)
+    # output eps has the latents' shape: chain it back as the input
+    dt_unet = timeit_chained(c, params, lat, (t, ctx), iters=20)
     print(f"unet_fwd   {dt_unet*1e3:8.1f} ms   {f_unet/dt_unet/1e12:6.1f} TF/s")
 
     # --- full pipeline.forward ---
