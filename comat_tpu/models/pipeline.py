@@ -144,6 +144,14 @@ class DiffusionPipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.unet = UNet2DCondition(cfg.unet, lora_rank=cfg.lora_rank)
+        # LoRA-free twin for no-grad passes: applied with fuse_lora_tree
+        # params (W + A@B folded once per step), skipping the per-token
+        # rank-128 LoRA matmuls in the 50 pass-1 / validation forwards.
+        self.unet_inf = (
+            UNet2DCondition(cfg.unet, lora_rank=0)
+            if cfg.lora_rank > 0
+            else self.unet
+        )
         self.text = CLIPTextEncoder(cfg.text, lora_rank=cfg.text_lora_rank)
         self.text2 = (
             CLIPTextEncoder(cfg.text2, lora_rank=cfg.text_lora_rank)
@@ -240,9 +248,12 @@ class DiffusionPipeline:
     # ---- unet / vae ----
     def unet_apply(
         self, params, latents, t, context, added_cond=None, capture=False,
-        fast=False,
+        fast=False, fused=False,
     ):
-        out, captured = self.unet.apply(
+        """`fused=True` applies the LoRA-free twin; `params["unet"]`
+        must then be a `fuse_lora_tree` output (see fused_params)."""
+        unet = self.unet_inf if fused else self.unet
+        out, captured = unet.apply(
             params["unet"], latents, t, context, added_cond,
             capture=capture, capture_layers=self.cfg.capture_layers,
             fast=fast,
@@ -259,6 +270,17 @@ class DiffusionPipeline:
         z = latents / self.cfg.vae.scaling_factor
         img = self.vae.apply(params["vae"], z, method=AutoencoderKL.decode)
         return img / 2.0 + 0.5
+
+    def fused_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Copy of `params` with the UNet's LoRA folded into base
+        kernels (for unet_apply(..., fused=True))."""
+        if self.cfg.lora_rank == 0:
+            return params
+        from comat_tpu.models.lora import fuse_lora_tree
+
+        out = dict(params)
+        out["unet"] = fuse_lora_tree(params["unet"])
+        return out
 
     # ---- the CoMat forward (reference forward(): the hot path) ----
     def forward(
@@ -322,12 +344,14 @@ class DiffusionPipeline:
         )
         # Inference eps-model (pass 1): Pallas flash attention over
         # fully stop-gradient'd params — keeps the no-VJP kernel out of
-        # the autodiff graph entirely.
+        # the autodiff graph entirely. LoRA is folded into the base
+        # kernels once here (outside the scan), not re-applied
+        # per-token in each of the 50 forwards.
         sg = jax.lax.stop_gradient
-        params_ng = jax.tree_util.tree_map(sg, params)
+        params_ng = self.fused_params(jax.tree_util.tree_map(sg, params))
         eps_model_inf = make_cfg_eps_model(
             lambda lat, t, ctx, ac, cap: self.unet_apply(
-                params_ng, lat, t, ctx, ac, cap, fast=True
+                params_ng, lat, t, ctx, ac, cap, fast=True, fused=True
             ),
             sg(enc.context),
             sg(nenc.context) if guidance_scale > 1.0 else None,
@@ -420,9 +444,10 @@ class DiffusionPipeline:
         if cfg.is_sdxl:
             added = self.sdxl_added_cond(enc.pooled, B)
             null_added = self.sdxl_added_cond(nenc.pooled, B)
+        params_f = self.fused_params(params)
         eps_model = make_cfg_eps_model(
             lambda lat, t, ctx, ac, cap: self.unet_apply(
-                params, lat, t, ctx, ac, cap, fast=True
+                params_f, lat, t, ctx, ac, cap, fast=True, fused=True
             ),
             enc.context,
             nenc.context if guidance_scale > 1.0 else None,

@@ -166,3 +166,27 @@ def test_blip_caption_loss_golden():
         lambda im: model.apply(params, im, ids, mask, labels)
     )(img)
     assert float(jnp.abs(gimg).sum()) > 0
+
+
+def test_conv3x3_module_matches_nn_conv():
+    """models/conv.Conv3x3 is a drop-in for nn.Conv(f, (3,3), padding=1):
+    identical param tree (kernel/bias names+shapes) and identical math on
+    the XLA path (the Pallas path is gated off on CPU; its numerical
+    parity is checked on-device by tools/bench_conv3x3.py)."""
+    import flax.linen as nn
+    from comat_tpu.models.conv import Conv3x3
+
+    x = jax.random.normal(K, (2, 8, 8, 12))
+    ref = nn.Conv(7, (3, 3), padding=1, name="c")
+    mod = Conv3x3(7, name="c")
+    ref_params = ref.init(K, x)
+    got_shapes = jax.tree_util.tree_map(
+        lambda a: a.shape, mod.init(K, x)
+    )
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref_params)
+    assert got_shapes == ref_shapes
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(ref_params, x)),
+        np.asarray(ref.apply(ref_params, x)),
+        rtol=1e-5, atol=1e-5,
+    )
