@@ -107,13 +107,21 @@ def parse_args(argv=None):
 
     # --- run ---
     p.add_argument("--output_dir", type=str, default="comat-output")
+    p.add_argument("--cache_dir", type=str, default=None,
+                   help="HF-style cache root searched for model "
+                        "snapshots when --pretrain_model is a repo id")
     p.add_argument("--logging_dir", type=str, default="logs")
     p.add_argument("--seed", type=int, default=None)
     # None -> derived from --num_train_epochs (reference
     # training_script.py:287-288)
     p.add_argument("--max_train_steps", type=int, default=None)
     p.add_argument("--num_train_epochs", type=int, default=100)
-    p.add_argument("--validation_prompts", type=str, default=None)
+    # nargs="+" prompt strings, optionally extended by a file — the
+    # reference's exact contract (arguments.py:44-55,
+    # training_script.py:458-463)
+    p.add_argument("--validation_prompts", type=str, default=None,
+                   nargs="+")
+    p.add_argument("--validation_prompts_file", type=str, default=None)
     p.add_argument("--validation_steps", type=int, default=100)
     p.add_argument("--num_validation_images", type=int, default=4)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
@@ -124,6 +132,14 @@ def parse_args(argv=None):
     p.add_argument("--local_rank", type=int, default=-1,
                    help="accepted for launcher parity; unused (jax "
                         "process_index drives host identity)")
+    # CUDA-specific reference flags, accepted as no-ops: fused (Pallas
+    # flash) attention is always on here — it is what these flags
+    # enable in the torch stack (reference training_script.py:135-146)
+    p.add_argument("--enable_xformers_memory_efficient_attention",
+                   action="store_true",
+                   help="no-op: fused attention is the default on TPU")
+    p.add_argument("--enable_torch2_product", action="store_true",
+                   help="no-op: fused attention is the default on TPU")
 
     # --- TPU-native extras (no reference equivalent) ---
     p.add_argument("--tokenizer_dir", type=str, default=None,

@@ -393,8 +393,34 @@ class Trainer:
             )
         return seg
 
+    @staticmethod
+    def _resolve_snapshot(path, cache_dir):
+        """Resolve a HF repo id against --cache_dir's hub layout
+        (cache_dir/models--org--name/snapshots/<rev>) or a plain
+        cache_dir/name directory; passthrough for local dirs."""
+        if not path or os.path.isdir(path) or not cache_dir:
+            return path
+        cands = [
+            os.path.join(cache_dir, "models--" + path.replace("/", "--"),
+                         "snapshots"),
+            os.path.join(cache_dir, path.split("/")[-1]),
+            os.path.join(cache_dir, path),
+        ]
+        for c in cands:
+            if os.path.isdir(c):
+                if c.endswith("snapshots"):
+                    revs = sorted(os.listdir(c))
+                    if revs:
+                        return os.path.join(c, revs[-1])
+                    continue
+                return c
+        return path
+
     def _maybe_load_pretrained(self, params):
-        path = self.args.pretrain_model
+        path = self._resolve_snapshot(
+            self.args.pretrain_model,
+            getattr(self.args, "cache_dir", None),
+        )
         if path and os.path.isdir(path):
             try:
                 from comat_tpu.models.hf_import import load_sd_params
@@ -594,7 +620,9 @@ class Trainer:
                 jax.device_get(self.state.trainable),
             )
             self.logger.info("saved checkpoint %s", path)
-        if args.validation_prompts:
+        if args.validation_prompts and args.num_validation_images > 0:
+            # reference gate: prompts given AND rounds > 0
+            # (training_script.py:457)
             self._validate()
         # sync all hosts before continuing (reference wait_for_everyone)
         if jax.process_count() > 1:
@@ -604,7 +632,20 @@ class Trainer:
 
     def _validate(self):
         args = self.args
-        prompts = load_prompts(args.validation_prompts)[:4]
+        # --validation_prompts is a list of prompt strings; an optional
+        # --validation_prompts_file extends it (reference
+        # training_script.py:458-463). A single existing file path is
+        # also accepted for convenience.
+        vp = args.validation_prompts
+        if isinstance(vp, str):
+            vp = [vp]
+        if len(vp) == 1 and os.path.isfile(vp[0]):
+            prompts = load_prompts(vp[0])
+        else:
+            prompts = list(vp)
+        if getattr(args, "validation_prompts_file", None):
+            prompts = prompts + load_prompts(args.validation_prompts_file)
+        prompts = [p.strip() for p in prompts if p.strip()][:4]
         from comat_tpu.training.train_step import merge_params
 
         params = merge_params(

@@ -83,6 +83,17 @@ def main():
     dt_unet = timeit_chained(c, params, lat, (t, ctx), iters=20)
     print(f"unet_fwd   {dt_unet*1e3:8.1f} ms   {f_unet/dt_unet/1e12:6.1f} TF/s")
 
+    # --- fused (pass-1) UNet forward: LoRA folded into base kernels ---
+    params_fused = pipe.fused_params(params)
+    unet_fwd_fused = jax.jit(
+        lambda p, l, tt, c: pipe.unet_apply(p, l, tt, c, fast=True,
+                                            fused=True)[0].astype(l.dtype)
+    )
+    cf = unet_fwd_fused.lower(params_fused, lat, t, ctx).compile()
+    f_unetf = float(cf.cost_analysis()["flops"])
+    dt_unetf = timeit_chained(cf, params_fused, lat, (t, ctx), iters=20)
+    print(f"unet_fused {dt_unetf*1e3:8.1f} ms   {f_unetf/dt_unetf/1e12:6.1f} TF/s")
+
     # --- full pipeline.forward ---
     def fwd(p, r, ids, nids, tr_idx):
         img, res = pipe.forward(
@@ -140,7 +151,7 @@ def main():
     print(f"imgs/s/chip: {B/dt_step:.3f}")
     print(
         "derived: pass1={:.0f}ms replay+vae+blip+bwd={:.0f}ms".format(
-            50 * dt_unet * 1e3, (dt_step - 50 * dt_unet) * 1e3
+            50 * dt_unetf * 1e3, (dt_step - 50 * dt_unetf) * 1e3
         )
     )
 
