@@ -36,54 +36,42 @@ A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.40
 
 
-def random_params(init_fn, key):
+def random_params_bf16(init_fn, key):
     """Fan-in-scaled random weights from abstract shapes (cheap, keeps
-    50-step activations finite — constant fills blow up to NaN)."""
+    50-step activations finite — constant fills blow up to NaN), born
+    directly in the frozen-tower dtype policy: bf16 master copies
+    except fp32 LoRA. The cast happens INSIDE the materializing jit so
+    the full fp32 tree never exists in HBM (the fp32 SDXL tree is
+    ~10GB and OOMed a v5e when materialized before casting)."""
     shapes = jax.eval_shape(init_fn, key)
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-
-    @jax.jit
-    def materialize(key):
-        out = []
-        for i, s in enumerate(leaves):
-            if s.ndim >= 2:
-                fan_in = int(np.prod(s.shape[:-1]))
-                w = jax.random.normal(
-                    jax.random.fold_in(key, i), s.shape, jnp.float32
-                ) * (fan_in ** -0.5)
-                out.append(w.astype(s.dtype))
-            elif "scale" in str(i):
-                out.append(jnp.ones(s.shape, s.dtype))
-            else:
-                out.append(jnp.zeros(s.shape, s.dtype))
-        return out
-
-    vals = materialize(key)
-    # norm scales must be 1, not 0: fix 1-D leaves named scale
     flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
-    fixed = []
-    for (path, s), v in zip(flat, vals):
+    treedef = jax.tree_util.tree_structure(shapes)
+    # Host-side numpy generation + per-leaf device_put: one giant
+    # materializing jit (thousands of unrolled random ops for SDXL)
+    # killed the XLA compiler, and per-leaf jitted generation pays one
+    # remote compile per unique shape.
+    rng = np.random.default_rng(0)
+    out = []
+    for path, s in flat:
         keys = [str(getattr(q, "key", getattr(q, "name", q))) for q in path]
-        if s.ndim == 1 and keys and keys[-1] == "scale":
-            v = jnp.ones(s.shape, s.dtype)
-        fixed.append(v)
-    return jax.tree_util.tree_unflatten(treedef, fixed)
+        is_lora = any(k.startswith("lora_") for k in keys)
+        is_scale = s.ndim == 1 and keys and keys[-1] == "scale"
+        dt = s.dtype
+        if dt == jnp.float32 and s.ndim >= 1 and not is_lora:
+            dt = jnp.bfloat16
+        if is_scale:
+            w = np.ones(s.shape, np.float32)
+        elif s.ndim >= 2:
+            fan_in = int(np.prod(s.shape[:-1]))
+            w = rng.standard_normal(s.shape, dtype=np.float32)
+            w *= fan_in ** -0.5
+        else:
+            w = np.zeros(s.shape, np.float32)
+        out.append(jax.device_put(jnp.asarray(w, dt)))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def cast_frozen_bf16(tree):
-    """Frozen-tower dtype policy: bf16 master copies (halves HBM and
-    avoids per-step fp32->bf16 cast traffic); LoRA stays fp32."""
-    def cast(path, x):
-        keys = tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
-        if any(k.startswith("lora_") for k in keys):
-            return x
-        if x.dtype == jnp.float32 and x.ndim >= 1:
-            return x.astype(jnp.bfloat16)
-        return x
-    return jax.tree_util.tree_map_with_path(cast, tree)
-
-
-def build(batch_size: int, resolution: int = 512):
+def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5"):
     from comat_tpu.config import BLIPConfig
     from comat_tpu.models.blip import BLIPCaptioner
     from comat_tpu.models.pipeline import DiffusionPipeline, make_pipeline_config
@@ -93,12 +81,12 @@ def build(batch_size: int, resolution: int = 512):
         TrainConfig, init_train_state, make_optimizer, make_train_step,
     )
 
-    pcfg = make_pipeline_config("sd_1_5", lora_rank=128, resolution=resolution)
+    pcfg = make_pipeline_config(model, lora_rank=128, resolution=resolution)
     pipe = DiffusionPipeline(pcfg)
     blip = BLIPCaptioner(BLIPConfig.large())
     k = jax.random.PRNGKey(0)
 
-    params = cast_frozen_bf16(random_params(pipe.init_params, k))
+    params = random_params_bf16(pipe.init_params, k)
 
     B = batch_size
     tok = HashTokenizer(49408)            # CLIP vocab
@@ -117,22 +105,21 @@ def build(batch_size: int, resolution: int = 512):
         "caption_mask": jnp.asarray(pad(cap["attention_mask"], 0)),
         "caption_labels": jnp.asarray(pad(cap["labels"], -100)),
     }
-    bshapes = jax.eval_shape(
+    blip_params = random_params_bf16(
         lambda k: blip.init(
             k, jnp.zeros((1, 384, 384, 3)), batch["caption_ids"][:1],
             batch["caption_mask"][:1], batch["caption_labels"][:1],
         ),
         k,
     )
-    blip_params = cast_frozen_bf16(random_params(
-        lambda k: blip.init(
-            k, jnp.zeros((1, 384, 384, 3)), batch["caption_ids"][:1],
-            batch["caption_mask"][:1], batch["caption_labels"][:1],
-        ),
-        k,
-    ))
 
-    tcfg = TrainConfig(total_step=50, K=5, resolution=resolution)
+    tcfg = TrainConfig(
+        total_step=50, K=5, resolution=resolution,
+        # the SDXL recipe needs block remat to fit 16GB HBM (the
+        # reference also runs --gradient_checkpointing); SD1.5 fits
+        # without and runs faster un-remat'd
+        gradient_checkpointing=(model != "sd_1_5"),
+    )
     opt = make_optimizer(tcfg)
     state, frozen = init_train_state(params, tcfg, opt)
     step = jax.jit(make_train_step(pipe, blip, tcfg, opt), donate_argnums=(0,))
@@ -144,17 +131,30 @@ def reference_flops_per_image(pipe, blip, params, blip_params, batch,
     """Analytic reference FLOPs/image from un-scanned component costs."""
     B = batch["input_ids"].shape[0]
 
+    added = None
+    if pipe.cfg.is_sdxl:
+        pooled_dim = (
+            pipe.cfg.text2.projection_dim or pipe.cfg.text2.hidden_size
+        )
+        added = {
+            "text_embeds": jnp.zeros((2 * B, pooled_dim), jnp.bfloat16),
+            "time_ids": jnp.zeros((2 * B, 6), jnp.bfloat16),
+        }
+
     def unet_cfg(params, lat, ctx):
         eps, _ = pipe.unet_apply(params, lat, jnp.zeros((2 * B,), jnp.int32),
-                                 ctx, fast=False)
+                                 ctx, added, fast=False)
         return eps
 
-    lat = jnp.zeros((2 * B, 64, 64, 4), jnp.bfloat16)
-    ctx = jnp.zeros((2 * B, 77, 768), jnp.bfloat16)
+    s = pipe.cfg.latent_size
+    lat = jnp.zeros((2 * B, s, s, 4), jnp.bfloat16)
+    ctx = jnp.zeros(
+        (2 * B, 77, pipe.cfg.unet.cross_attention_dim), jnp.bfloat16
+    )
     c_unet = jax.jit(unet_cfg).lower(params, lat, ctx).compile().cost_analysis()
     f_unet = float(c_unet["flops"])  # one CFG (2B) forward
 
-    z = jnp.zeros((B, 64, 64, 4))
+    z = jnp.zeros((B, s, s, 4))
     c_vae = jax.jit(
         lambda p, z: pipe.decode_image(p, z)
     ).lower(params, z).compile().cost_analysis()
@@ -183,8 +183,9 @@ def reference_flops_per_image(pipe, blip, params, blip_params, batch,
 
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    model = sys.argv[2] if len(sys.argv) > 2 else "sd_1_5"
     pipe, blip, step, state, frozen, blip_params, batch, tcfg = build(
-        batch_size
+        batch_size, model=model
     )
     rng = jax.random.PRNGKey(7)
 
@@ -220,7 +221,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sd15_comat_train_step_throughput_512px",
+                "metric": ("sd15" if model == "sd_1_5" else model)
+          + "_comat_train_step_throughput_512px",
                 "value": round(imgs_per_sec, 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs_baseline, 3),

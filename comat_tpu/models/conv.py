@@ -13,10 +13,11 @@ following norm/activation.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from comat_tpu.ops.conv3x3 import conv3x3_same, use_pallas_conv
+from comat_tpu.ops.conv3x3 import (
+    conv3x3_same, use_pallas_conv, xla_conv3x3,
+)
 
 
 class Conv3x3(nn.Module):
@@ -39,10 +40,5 @@ class Conv3x3(nn.Module):
         if use_pallas_conv(x.shape, kernel.shape):
             y = conv3x3_same(xd, k)
         else:
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
-            )
-            y = jax.lax.conv_general_dilated(
-                xd, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
-            )
+            y = xla_conv3x3(xd, k)
         return y + bias.astype(self.dtype)

@@ -73,6 +73,13 @@ def make_pipeline_config(
     tiny: bool = False,
     prediction_type: str = "epsilon",
 ) -> PipelineConfig:
+    if prediction_type not in ("epsilon", "v_prediction"):
+        # fail loudly: a typo here would silently train a v-model in
+        # epsilon mode (unet_apply string-compares the value)
+        raise ValueError(
+            f"prediction_type must be 'epsilon' or 'v_prediction', "
+            f"got {prediction_type!r}"
+        )
     attrcon = "attrcon" in name
     if name.startswith("sd_1_5"):
         if tiny:
@@ -248,15 +255,16 @@ class DiffusionPipeline:
     # ---- unet / vae ----
     def unet_apply(
         self, params, latents, t, context, added_cond=None, capture=False,
-        fast=False, fused=False,
+        fast=False, fused=False, remat=False,
     ):
         """`fused=True` applies the LoRA-free twin; `params["unet"]`
-        must then be a `fuse_lora_tree` output (see fused_params)."""
+        must then be a `fuse_lora_tree` output (see fused_params).
+        `remat=True` enables block-level gradient checkpointing."""
         unet = self.unet_inf if fused else self.unet
         out, captured = unet.apply(
             params["unet"], latents, t, context, added_cond,
             capture=capture, capture_layers=self.cfg.capture_layers,
-            fast=fast,
+            fast=fast, remat=remat,
         )
         if self.cfg.prediction_type == "v_prediction":
             from comat_tpu.diffusion.schedulers import v_to_eps
@@ -264,11 +272,33 @@ class DiffusionPipeline:
             out = v_to_eps(self.schedule, t, latents, out)
         return out, captured
 
-    def decode_image(self, params, latents: jnp.ndarray) -> jnp.ndarray:
+    def decode_image(
+        self, params, latents: jnp.ndarray, chunk: Optional[int] = None,
+    ) -> jnp.ndarray:
         """latents -> image in [0,1]-ish (unclamped, matching
-        reference TrainableSDPipeline.py:219-223 `image/2 + 0.5`)."""
+        reference TrainableSDPipeline.py:219-223 `image/2 + 0.5`).
+
+        `chunk` decodes the batch in sub-batches via lax.map — for
+        NO-GRAD callers (inference tools) that want a smaller decode
+        footprint. Under reverse AD the map stacks per-chunk residuals
+        and measures WORSE than the straight-line decode (19.2 vs
+        17.9GB on the SDXL bs6 step), so the train step does not use
+        it."""
         z = latents / self.cfg.vae.scaling_factor
-        img = self.vae.apply(params["vae"], z, method=AutoencoderKL.decode)
+        B = z.shape[0]
+        if chunk and chunk < B and B % chunk == 0:
+            zc = z.reshape(B // chunk, chunk, *z.shape[1:])
+            img = jax.lax.map(
+                lambda zz: self.vae.apply(
+                    params["vae"], zz, method=AutoencoderKL.decode
+                ),
+                zc,
+            )
+            img = img.reshape(B, *img.shape[2:])
+        else:
+            img = self.vae.apply(
+                params["vae"], z, method=AutoencoderKL.decode
+            )
         return img / 2.0 + 0.5
 
     def fused_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
@@ -303,6 +333,9 @@ class DiffusionPipeline:
         latents0: Optional[jnp.ndarray] = None,
         trainable: Any = None,
         frozen: Any = None,
+        remat: bool = False,
+        fuse_pass1: bool = True,
+        decode_chunk: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, SampleResult]:
         """Differentiable online generation. Returns (image, result).
 
@@ -333,7 +366,7 @@ class DiffusionPipeline:
         # attention on captured layers.
         eps_model = make_cfg_eps_model(
             lambda lat, t, ctx, ac, cap: self.unet_apply(
-                params, lat, t, ctx, ac, cap, fast=True
+                params, lat, t, ctx, ac, cap, fast=True, remat=remat
             ),
             enc.context,
             nenc.context if guidance_scale > 1.0 else None,
@@ -348,10 +381,17 @@ class DiffusionPipeline:
         # kernels once here (outside the scan), not re-applied
         # per-token in each of the 50 forwards.
         sg = jax.lax.stop_gradient
-        params_ng = self.fused_params(jax.tree_util.tree_map(sg, params))
+        params_ng = jax.tree_util.tree_map(sg, params)
+        if fuse_pass1:
+            # fusing duplicates every LoRA-bearing base kernel for the
+            # life of the step (~1.8GB for SDXL) — callers in
+            # memory-tight configs pass fuse_pass1=False and pay the
+            # per-token LoRA matmuls instead
+            params_ng = self.fused_params(params_ng)
         eps_model_inf = make_cfg_eps_model(
             lambda lat, t, ctx, ac, cap: self.unet_apply(
-                params_ng, lat, t, ctx, ac, cap, fast=True, fused=True
+                params_ng, lat, t, ctx, ac, cap, fast=True,
+                fused=fuse_pass1
             ),
             sg(enc.context),
             sg(nenc.context) if guidance_scale > 1.0 else None,
@@ -385,7 +425,7 @@ class DiffusionPipeline:
                 p = merge_params(d["trainable"], aux["frozen"])
                 em = make_cfg_eps_model(
                     lambda l, tt, ctx, ac, cap: self.unet_apply(
-                        p, l, tt, ctx, ac, cap, fast=True
+                        p, l, tt, ctx, ac, cap, fast=True, remat=remat
                     ),
                     d["context"],
                     d["null_context"],
@@ -413,8 +453,8 @@ class DiffusionPipeline:
             aux_tree=aux_tree,
         )
         # Decoder memory is handled by per-block remat inside
-        # VAEDecoder (see models/vae.py).
-        image = self.decode_image(params, res.latents)
+        # VAEDecoder (see models/vae.py) plus optional batch chunking.
+        image = self.decode_image(params, res.latents, chunk=decode_chunk)
         return image, res
 
     # ---- inference (validation / latent generation) ----

@@ -277,10 +277,23 @@ class UNet2DCondition(nn.Module):
         capture: bool = False,
         capture_layers: Tuple[str, ...] = (),
         fast: bool = False,
+        remat: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, List[jnp.ndarray]]]:
         cfg = self.cfg
         dt = cfg.dtype
         B = sample.shape[0]
+        # --gradient_checkpointing: block-level remat — residuals are
+        # stored only at resnet/transformer boundaries and each block's
+        # backward recomputes its interior. This is what lets the SDXL
+        # recipe's differentiable-replay VJP fit a 16GB chip (full
+        # residuals for one bs-12 SDXL segment need >20GB; reference:
+        # unet.enable_gradient_checkpointing(),
+        # training_utils/pipeline.py:73-77).
+        Res = nn.remat(ResnetBlock) if remat else ResnetBlock
+        Tx = (
+            nn.remat(Transformer2D, static_argnums=(3, 4))
+            if remat else Transformer2D
+        )
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (B,))
 
@@ -327,20 +340,20 @@ class UNet2DCondition(nn.Module):
             zip(cfg.down_block_types, cfg.block_out_channels)
         ):
             for j in range(cfg.layers_per_block):
-                sample = ResnetBlock(
+                sample = Res(
                     ch, cfg.norm_num_groups, dt,
                     name=f"down_{i}_resnet_{j}",
                 )(sample, temb)
                 if btype == "cross":
                     res = sample.shape[1]
-                    sample, caps = Transformer2D(
+                    sample, caps = Tx(
                         cfg.num_attention_heads[i],
                         cfg.transformer_layers_per_block[i],
                         cfg.norm_num_groups,
                         self.lora_rank,
                         dt,
                         name=f"down_{i}_attn_{j}",
-                    )(sample, ctx, capture=want("down", res), fast=fast)
+                    )(sample, ctx, want("down", res), fast)
                     record("down", res, caps)
                 res_stack.append(sample)
             if i < n_blocks - 1:
@@ -349,20 +362,20 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        sample = ResnetBlock(
+        sample = Res(
             mid_ch, cfg.norm_num_groups, dt, name="mid_resnet_0"
         )(sample, temb)
         res = sample.shape[1]
-        sample, caps = Transformer2D(
+        sample, caps = Tx(
             cfg.num_attention_heads[-1],
             max(cfg.transformer_layers_per_block[-1], 1),
             cfg.norm_num_groups,
             self.lora_rank,
             dt,
             name="mid_attn",
-        )(sample, ctx, capture=want("mid", res), fast=fast)
+        )(sample, ctx, want("mid", res), fast)
         record("mid", res, caps)
-        sample = ResnetBlock(
+        sample = Res(
             mid_ch, cfg.norm_num_groups, dt, name="mid_resnet_1"
         )(sample, temb)
 
@@ -374,19 +387,19 @@ class UNet2DCondition(nn.Module):
             ch = rev_ch[i]
             for j in range(cfg.layers_per_block + 1):
                 res_h = res_stack.pop()
-                sample = ResnetBlock(
+                sample = Res(
                     ch, cfg.norm_num_groups, dt, name=f"up_{i}_resnet_{j}"
                 )(jnp.concatenate([sample, res_h], axis=-1), temb)
                 if btype == "cross":
                     res = sample.shape[1]
-                    sample, caps = Transformer2D(
+                    sample, caps = Tx(
                         rev_heads[i],
                         rev_tx[i],
                         cfg.norm_num_groups,
                         self.lora_rank,
                         dt,
                         name=f"up_{i}_attn_{j}",
-                    )(sample, ctx, capture=want("up", res), fast=fast)
+                    )(sample, ctx, want("up", res), fast)
                     record("up", res, caps)
             if i < n_blocks - 1:
                 sample = Upsample(ch, dt, name=f"up_{i}_upsample")(sample)

@@ -156,9 +156,23 @@ def _shifted_views(xp, H):
     ]
 
 
+def xla_conv3x3(x, w):
+    """The stride-1 SAME 3x3 conv via XLA (shared fallback)."""
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+    )
+
+
 def _fwd_impl(x, w):
     B, H, W, C = x.shape
     Cout = w.shape[-1]
+    if H % 8 != 0:
+        # both kernel variants require 8-row-aligned strips; the
+        # resident loop would silently leave trailing rows unwritten
+        return xla_conv3x3(x, w)
     wf = w.reshape(9, C, Cout)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     w_spec = pl.BlockSpec((9, C, Cout), lambda *_: (0, 0, 0),
@@ -187,12 +201,7 @@ def _fwd_impl(x, w):
     bh = _pick_bh(H, W, C, Cout, x.dtype.itemsize)
     if bh is None:
         # shape overflows VMEM for every strip height: XLA conv
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
-        )
-        return jax.lax.conv_general_dilated(
-            x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
-        )
+        return xla_conv3x3(x, w)
     v0, v1, v2 = _shifted_views(xp, H)
     view_spec = pl.BlockSpec(
         (1, bh, W + 2, C), lambda b, i: (b, i, 0, 0),

@@ -60,6 +60,11 @@ class TrainConfig:
     mask_pixel_loss_weight: float = 5e-5
     gradient_accumulation_steps: int = 1
     use_8bit_adam: bool = False     # --use_8bit_adam
+    # --gradient_checkpointing: block-level remat inside the replay's
+    # differentiable UNet calls (reference pipeline.py:73-77). Required
+    # to fit the SDXL recipe on 16GB chips; pure overhead for SD1.5
+    # on v5e (its un-remat'd residuals fit), so it stays opt-in.
+    gradient_checkpointing: bool = False
     # --textenc_lora_lr: separate LR for text-encoder params (the
     # reference builds a second param group — training_script.py:
     # 239-252); None = one LR for everything
@@ -175,7 +180,14 @@ def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransfor
     if cfg.textenc_lr is not None:
         # separate text-encoder LR group; grad clipping stays joint
         # over all trainables, like accelerate clip_grad_norm_
-        # (training_script.py:659-664)
+        # (training_script.py:659-664). The LR schedule applies to this
+        # group too, scaled off its own base LR — torch LambdaLR
+        # multiplies every param group's base_lr by the same factor.
+        if callable(lr):
+            ratio = cfg.textenc_lr / cfg.learning_rate
+            text_lr = lambda step: lr(step) * ratio  # noqa: E731
+        else:
+            text_lr = cfg.textenc_lr
         def labels(params):
             return jax.tree_util.tree_map_with_path(
                 lambda path, _: (
@@ -188,7 +200,7 @@ def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransfor
             )
 
         adam = optax.multi_transform(
-            {"main": make_adam(lr), "text": make_adam(cfg.textenc_lr)},
+            {"main": make_adam(lr), "text": make_adam(text_lr)},
             labels,
         )
     else:
@@ -316,6 +328,13 @@ def make_train_step(
             # replay segments (diff w.r.t. the trainable subtree only)
             trainable=trainable,
             frozen=frozen,
+            remat=cfg.gradient_checkpointing,
+            # gradient_checkpointing doubles as the memory-tight
+            # signal: skip the pass-1 LoRA fusion there (it holds a
+            # second copy of every attention base kernel) and decode
+            # the VAE in bs-2 chunks (its 512-res activations are the
+            # step's HBM peak)
+            fuse_pass1=not cfg.gradient_checkpointing,
         )
 
         # ---- reward-gradient tap (training_script.py:644-651) ----

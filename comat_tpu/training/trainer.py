@@ -157,12 +157,26 @@ class Trainer:
             mask_pixel_loss_weight=args.mask_pixel_loss_weight,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             use_8bit_adam=args.use_8bit_adam,
+            gradient_checkpointing=args.gradient_checkpointing,
             textenc_lr=(
                 args.textenc_lora_lr
                 if (args.tune_text_encoder or args.train_text_encoder_lora)
                 else None
             ),
         )
+
+        if args.max_train_steps is None:
+            # Derive from --num_train_epochs BEFORE building the LR
+            # schedule (cosine/linear need the horizon; reference
+            # training_script.py:287-288 derives the same way). Uses
+            # the single-host batch count; train() keeps this value.
+            n_prompts = len(
+                load_prompts(args.training_prompts, args.max_train_samples)
+            )
+            per_epoch = max(
+                1, n_prompts // max(1, args.train_batch_size)
+            )
+            args.max_train_steps = args.num_train_epochs * per_epoch
 
         self.optimizer = make_optimizer(self.tcfg, _lr_schedule(args))
         self.state, self.frozen = init_train_state(
@@ -409,9 +423,21 @@ class Trainer:
         for c in cands:
             if os.path.isdir(c):
                 if c.endswith("snapshots"):
-                    revs = sorted(os.listdir(c))
+                    # prefer the revision refs/main points at (the HF
+                    # hub cache contract); fall back to the most
+                    # recently modified snapshot directory
+                    ref = os.path.join(os.path.dirname(c), "refs", "main")
+                    if os.path.isfile(ref):
+                        with open(ref) as f:
+                            rev = os.path.join(c, f.read().strip())
+                        if os.path.isdir(rev):
+                            return rev
+                    revs = [
+                        os.path.join(c, r) for r in os.listdir(c)
+                        if os.path.isdir(os.path.join(c, r))
+                    ]
                     if revs:
-                        return os.path.join(c, revs[-1])
+                        return max(revs, key=os.path.getmtime)
                     continue
                 return c
         return path
@@ -620,9 +646,15 @@ class Trainer:
                 jax.device_get(self.state.trainable),
             )
             self.logger.info("saved checkpoint %s", path)
-        if args.validation_prompts and args.num_validation_images > 0:
+        if (
+            (args.validation_prompts or args.validation_prompts_file)
+            and args.num_validation_images > 0
+        ):
             # reference gate: prompts given AND rounds > 0
-            # (training_script.py:457)
+            # (training_script.py:457); deliberately more permissive
+            # than the reference, which silently ignores a
+            # --validation_prompts_file given without
+            # --validation_prompts
             self._validate()
         # sync all hosts before continuing (reference wait_for_everyone)
         if jax.process_count() > 1:
@@ -636,7 +668,7 @@ class Trainer:
         # --validation_prompts_file extends it (reference
         # training_script.py:458-463). A single existing file path is
         # also accepted for convenience.
-        vp = args.validation_prompts
+        vp = args.validation_prompts or []
         if isinstance(vp, str):
             vp = [vp]
         if len(vp) == 1 and os.path.isfile(vp[0]):

@@ -86,3 +86,91 @@ def test_cache_dir_snapshot_resolution(tmp_path):
     assert Trainer._resolve_snapshot("no/such-model", str(tmp_path)) == (
         "no/such-model"
     )
+
+
+def test_lr_schedule_with_derived_max_steps(tmp_path):
+    """--lr_scheduler cosine with no --max_train_steps (default None):
+    the horizon must be derived from --num_train_epochs BEFORE the
+    schedule is built (regression: optax got decay_steps=None)."""
+    f = tmp_path / "p.txt"
+    f.write_text("\n".join(f"prompt {i}" for i in range(8)))
+    a = parse_args([
+        "--training_prompts", str(f), "--lr_scheduler", "cosine",
+        "--num_train_epochs", "3", "--train_batch_size", "2",
+    ])
+    assert a.max_train_steps is None
+    from comat_tpu.training.trainer import _lr_schedule, load_prompts
+
+    # the derivation the trainer runs pre-schedule
+    n = len(load_prompts(a.training_prompts, a.max_train_samples))
+    a.max_train_steps = a.num_train_epochs * max(
+        1, n // max(1, a.train_batch_size)
+    )
+    assert a.max_train_steps == 12
+    sched = _lr_schedule(a)
+    assert float(sched(a.max_train_steps)) >= 0.0  # builds and evaluates
+
+
+def test_textenc_lr_follows_schedule():
+    """The text-encoder group follows the LR schedule scaled off its
+    own base LR (torch LambdaLR multiplies every group's base_lr)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from comat_tpu.training.train_step import TrainConfig, make_optimizer
+
+    tcfg = TrainConfig(learning_rate=1e-2, textenc_lr=1e-4,
+                       adam_weight_decay=0.0, max_grad_norm=1e9)
+    # warmup schedule: lr == 0 at step 0
+    sched = lambda step: jnp.minimum(step / 10.0, 1.0) * tcfg.learning_rate
+    opt = make_optimizer(tcfg, sched)
+    params = {"unet": jnp.ones((4,)), "text": jnp.ones((4,))}
+    state = opt.init(params)
+    grads = {"unet": jnp.ones((4,)), "text": jnp.ones((4,))}
+    updates, _ = opt.update(grads, state, params)
+    # at step 0 the schedule is 0 -> BOTH groups produce zero updates
+    assert float(jnp.abs(updates["unet"]).max()) == 0.0
+    assert float(jnp.abs(updates["text"]).max()) == 0.0
+
+
+def test_prediction_type_validated():
+    import pytest
+
+    from comat_tpu.models.pipeline import make_pipeline_config
+
+    with pytest.raises(ValueError, match="prediction_type"):
+        make_pipeline_config("sd_1_5", tiny=True,
+                             prediction_type="v-prediction")
+
+
+def test_resolve_snapshot_prefers_refs_main(tmp_path):
+    from comat_tpu.training.trainer import Trainer
+
+    root = tmp_path / "models--org--model"
+    os.makedirs(root / "snapshots" / "aaaa")
+    os.makedirs(root / "snapshots" / "zzzz")
+    os.makedirs(root / "refs")
+    (root / "refs" / "main").write_text("aaaa\n")
+    got = Trainer._resolve_snapshot("org/model", str(tmp_path))
+    assert got == str(root / "snapshots" / "aaaa")
+
+
+def test_conv3x3_non_multiple_height_falls_back():
+    """conv3x3_same with H not a multiple of 8 must not hit the Pallas
+    resident loop (which would leave trailing rows unwritten) — it
+    falls back to the XLA conv and stays correct + differentiable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from comat_tpu.ops.conv3x3 import conv3x3_same, xla_conv3x3
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (1, 20, 20, 8))
+    w = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, 8, 8)) * 0.1
+    np.testing.assert_allclose(
+        np.asarray(conv3x3_same(x, w)), np.asarray(xla_conv3x3(x, w)),
+        rtol=1e-5, atol=1e-5,
+    )
+    g = jax.grad(lambda x: (conv3x3_same(x, w) ** 2).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()

@@ -247,3 +247,57 @@ def test_v_prediction_pipeline_generates():
     )
     assert img.shape == (1, RES, RES, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_gradient_checkpointing_matches():
+    """--gradient_checkpointing (block remat in the replay UNet) must
+    not change values or gradients, only memory."""
+    pipe, _, params, _, batch, tcfg = _build(2)
+    trainable, frozen = partition_params(params)
+    rng = jax.random.PRNGKey(5)
+    trained_idx = jnp.arange(1, 1 + tcfg.K * tcfg.interval, tcfg.interval)
+
+    def image_sum(tr, remat):
+        p = merge_params(tr, frozen)
+        img, _ = pipe.forward(
+            p, rng, batch["input_ids"], batch["null_ids"], trained_idx,
+            num_inference_steps=tcfg.total_step, K=tcfg.K,
+            guidance_scale=tcfg.guidance_scale,
+            eos_positions=batch["eos_positions"],
+            trainable=tr, frozen=frozen, remat=remat,
+        )
+        return (img.astype(jnp.float32) ** 2).mean()
+
+    v1, g1 = jax.jit(
+        jax.value_and_grad(lambda t: image_sum(t, True))
+    )(trainable)
+    v2, g2 = jax.jit(
+        jax.value_and_grad(lambda t: image_sum(t, False))
+    )(trainable)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_pass1_without_lora_fusion_matches():
+    """fuse_pass1=False (memory-tight mode, used with
+    --gradient_checkpointing) must produce identical images — the
+    per-token LoRA path and the folded-kernel path compute the same
+    function."""
+    pipe, _, params, _, batch, tcfg = _build(2)
+    rng = jax.random.PRNGKey(9)
+    trained_idx = jnp.arange(1, 1 + tcfg.K * tcfg.interval, tcfg.interval)
+
+    def img(fuse):
+        out, _ = pipe.forward(
+            params, rng, batch["input_ids"], batch["null_ids"],
+            trained_idx, num_inference_steps=tcfg.total_step, K=tcfg.K,
+            guidance_scale=tcfg.guidance_scale,
+            eos_positions=batch["eos_positions"], fuse_pass1=fuse,
+        )
+        return np.asarray(out)
+
+    np.testing.assert_allclose(img(True), img(False), rtol=2e-4,
+                               atol=2e-5)

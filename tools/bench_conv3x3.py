@@ -10,17 +10,11 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
-from comat_tpu.ops.conv3x3 import conv3x3_same  # noqa: E402
+from comat_tpu.ops.conv3x3 import conv3x3_same, xla_conv3x3  # noqa: E402
 
 
 def xla_conv(x, w):
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
-    )
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    return xla_conv3x3(x, w).astype(x.dtype)
 
 
 def check_correct(B, H, C, Cout):
