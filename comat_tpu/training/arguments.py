@@ -76,6 +76,8 @@ def parse_args(argv=None):
 
     # --- optimization ---
     p.add_argument("--learning_rate", type=float, default=5e-5)
+    # accepted-but-unused in the reference too (defined at
+    # arguments.py:74-79, never read by training_script.py)
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--lr_scheduler", type=str, default="constant")
     p.add_argument("--lr_warmup_steps", type=int, default=0)
@@ -94,7 +96,10 @@ def parse_args(argv=None):
                    help="TPU build always computes bf16 w/ fp32 LoRA")
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
-    p.add_argument("--optimizer_class", type=str, default="AdamW")
+    # the reference's only branch is AdamW (training_script.py:
+    # 224-225); 8-bit selection goes through --use_8bit_adam
+    p.add_argument("--optimizer_class", type=str, default="AdamW",
+                   choices=["AdamW"])
 
     # --- data ---
     p.add_argument("--training_prompts", type=str, required=True)
