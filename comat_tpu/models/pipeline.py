@@ -274,6 +274,7 @@ class DiffusionPipeline:
 
     def decode_image(
         self, params, latents: jnp.ndarray, chunk: Optional[int] = None,
+        remat_blocks: bool = True,
     ) -> jnp.ndarray:
         """latents -> image in [0,1]-ish (unclamped, matching
         reference TrainableSDPipeline.py:219-223 `image/2 + 0.5`).
@@ -290,14 +291,16 @@ class DiffusionPipeline:
             zc = z.reshape(B // chunk, chunk, *z.shape[1:])
             img = jax.lax.map(
                 lambda zz: self.vae.apply(
-                    params["vae"], zz, method=AutoencoderKL.decode
+                    params["vae"], zz, remat_blocks,
+                    method=AutoencoderKL.decode,
                 ),
                 zc,
             )
             img = img.reshape(B, *img.shape[2:])
         else:
             img = self.vae.apply(
-                params["vae"], z, method=AutoencoderKL.decode
+                params["vae"], z, remat_blocks,
+                method=AutoencoderKL.decode,
             )
         return img / 2.0 + 0.5
 
@@ -452,9 +455,12 @@ class DiffusionPipeline:
             diff_eps_model=diff_eps_model, diff_tree=diff_tree,
             aux_tree=aux_tree,
         )
-        # Decoder memory is handled by per-block remat inside
-        # VAEDecoder (see models/vae.py) plus optional batch chunking.
-        image = self.decode_image(params, res.latents, chunk=decode_chunk)
+        # Decoder per-block remat follows the memory-tight flag: the
+        # recompute costs ~53ms/step at SD1.5 bs4 and is only needed
+        # where HBM is the constraint (measured in models/vae.py note).
+        image = self.decode_image(
+            params, res.latents, chunk=decode_chunk, remat_blocks=remat
+        )
         return image, res
 
     # ---- inference (validation / latent generation) ----

@@ -72,15 +72,19 @@ class VAEDecoder(nn.Module):
     cfg: VAEConfig
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, z: jnp.ndarray, remat_blocks: bool = True
+    ) -> jnp.ndarray:
         cfg = self.cfg
         dt = cfg.dtype
         g = cfg.norm_num_groups
         # Per-block remat: the decoder backward's fp32 GroupNorm temps at
         # full image resolution dominate HBM otherwise (measured 1.5GB
         # per temp at 512^2 bs6); rematting block-by-block keeps one
-        # block's activations live during the backward.
-        Res = nn.remat(VAEResnetBlock)
+        # block's activations live during the backward. Memory-rich
+        # configs (SD1.5 bs4 on v5e) can disable it and skip the
+        # recompute (`remat_blocks=False`).
+        Res = nn.remat(VAEResnetBlock) if remat_blocks else VAEResnetBlock
         z = nn.Conv(cfg.latent_channels, (1, 1), dtype=dt,
                     name="post_quant_conv")(z.astype(dt))
         rev = tuple(reversed(cfg.block_out_channels))
@@ -141,10 +145,12 @@ class AutoencoderKL(nn.Module):
         self.encoder = VAEEncoder(self.cfg)
         self.decoder = VAEDecoder(self.cfg)
 
-    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+    def decode(
+        self, latents: jnp.ndarray, remat_blocks: bool = True
+    ) -> jnp.ndarray:
         """latents (B,h,w,4), *already* divided by scaling_factor.
         Returns image in [-1, 1] (B,H,W,3)."""
-        return self.decoder(latents)
+        return self.decoder(latents, remat_blocks)
 
     def encode(self, images: jnp.ndarray):
         return self.encoder(images)

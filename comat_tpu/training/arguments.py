@@ -103,6 +103,10 @@ def parse_args(argv=None):
 
     # --- data ---
     p.add_argument("--training_prompts", type=str, required=True)
+    # accepted for parity: the reference loads images for JSON
+    # datasets with a file_name column (dataset.py:26-32) but the
+    # training loop never consumes batch["image"] — CoMat trains
+    # on prompts only (online generation)
     p.add_argument("--image_folder", type=str, default=None)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--train_batch_size", type=int, default=4)

@@ -178,7 +178,8 @@ class Trainer:
             )
             args.max_train_steps = args.num_train_epochs * per_epoch
 
-        self.optimizer = make_optimizer(self.tcfg, _lr_schedule(args))
+        self._lr_fn = _lr_schedule(args)
+        self.optimizer = make_optimizer(self.tcfg, self._lr_fn)
         self.state, self.frozen = init_train_state(
             params, self.tcfg, self.optimizer,
             full_finetuning=args.full_finetuning,
@@ -611,6 +612,12 @@ class Trainer:
         self._pending_metrics = None
         dt = self.timer.tick()
         host_m = {k: float(v) for k, v in pm.items()}
+        # reference per-step logged keys (training_script.py:667-703):
+        # train_loss is the gathered mean loss, lr the schedule value
+        host_m["train_loss"] = host_m.get("step_loss", 0.0)
+        host_m["lr"] = float(
+            self._lr_fn(pstep) if callable(self._lr_fn) else self._lr_fn
+        )
         host_m["sec_per_step"] = dt
         if dt > 0:
             host_m["images_per_sec"] = pbs * jax.process_count() / dt
