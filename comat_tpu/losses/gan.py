@@ -39,6 +39,12 @@ class GanConfig:
     lora_rank: int = 32
     lastlayer_cls: bool = False     # --gan_unet_lastlayer_cls
     condition_discriminator: bool = False
+    # --gan_model_arch differs from the generator family: the published
+    # SDXL recipe runs an SD1.5-architecture D over the SDXL generator's
+    # latents (scripts/sdxl.sh: gan_model_arch gansd_1_5 — latents are
+    # 64x64x4 in both). D's text condition then comes from the CLIP-L
+    # tower alone (768-dim), not the SDXL concat.
+    cross_arch: bool = False
 
 
 class DiscriminatorHead(nn.Module):

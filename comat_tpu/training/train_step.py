@@ -297,6 +297,15 @@ def make_train_step(
         # --condition_discriminator, the G side conditions D on the
         # actual prompts instead (gan_sdxl.py:59-66).
         ids = batch["input_ids"] if condition else batch["null_ids"]
+        if disc is not None and disc.gan_cfg.cross_arch:
+            # SD1.5-arch D under an SDXL generator (the published SDXL
+            # recipe): D's 768-dim condition is the CLIP-L tower's
+            # final hidden states — the same vector the reference's
+            # D-side SD1.5 text encoder produces (gan_sdxl.py:134-155;
+            # SDXL's text_encoder IS CLIP ViT-L).
+            eos = batch.get("eos_positions") if condition else None
+            hidden, _ = pipeline.text.apply(params["text"], ids, eos)
+            return jax.lax.stop_gradient(hidden), None
         enc = pipeline.encode_prompt(
             params, ids, batch.get("eos_positions") if condition else None
         )

@@ -194,20 +194,35 @@ class Trainer:
         self.d_optimizer = None
         self.latent_store = None
         if args.gan_loss:
-            self.disc = Discriminator(
-                self.pcfg.unet,
-                GanConfig(
-                    lora_rank=args.lora_rank,
-                    lastlayer_cls=args.gan_unet_lastlayer_cls,
-                    condition_discriminator=args.condition_discriminator,
-                ),
-            )
-            d_params = self.disc.init_params(
-                jax.random.fold_in(init_rng, 7),
-                latent_size=self.pcfg.latent_size,
-                context_dim=self.pcfg.unet.cross_attention_dim,
-                context_len=self.pcfg.text.max_length,
-                added_cond=(
+            # --gan_model_arch names D's UNet geometry; the reference
+            # strips a 'gan' prefix first (gan_sd_model.py:9-13:
+            # 'gansd_1_5' -> sd_1_5). The published SDXL recipe runs an
+            # SD1.5-architecture D over SDXL latents (scripts/sdxl.sh)
+            # — latents are 64x64x4 in both families; D's text
+            # condition is then the 768-dim CLIP-L output.
+            d_arch = (args.gan_model_arch or "sd_1_5").replace("gan", "")
+            g_is_xl = self.pcfg.is_sdxl
+            cross_arch = d_arch.startswith("sdxl") != g_is_xl
+            if cross_arch and not d_arch.startswith("sd_1_5"):
+                raise ValueError(
+                    "--gan_model_arch sdxl with an SD1.5 generator is "
+                    "not supported (the reference never runs it either)"
+                )
+            if cross_arch:
+                from comat_tpu.config import UNetConfig
+
+                d_unet_cfg = (
+                    UNetConfig.tiny(
+                        cross_attention_dim=self.pcfg.text.hidden_size
+                    )
+                    if tiny else UNetConfig.sd15()
+                )
+                d_ctx_dim = self.pcfg.text.hidden_size
+                d_added = None
+            else:
+                d_unet_cfg = self.pcfg.unet
+                d_ctx_dim = self.pcfg.unet.cross_attention_dim
+                d_added = (
                     {
                         "text_embeds": jnp.zeros(
                             (1, self.pcfg.text2.projection_dim
@@ -217,12 +232,29 @@ class Trainer:
                     }
                     if self.pcfg.is_sdxl
                     else None
+                )
+            self.disc = Discriminator(
+                d_unet_cfg,
+                GanConfig(
+                    lora_rank=args.lora_rank,
+                    lastlayer_cls=args.gan_unet_lastlayer_cls,
+                    condition_discriminator=args.condition_discriminator,
+                    cross_arch=cross_arch,
                 ),
             )
-            # D's frozen base shares the generator's base UNet weights
-            # (both start from the same pretrained model —
-            # gan_sd_model.py:8-13)
-            d_params = self._share_base_unet(d_params, params)
+            d_params = self.disc.init_params(
+                jax.random.fold_in(init_rng, 7),
+                latent_size=self.pcfg.latent_size,
+                context_dim=d_ctx_dim,
+                context_len=self.pcfg.text.max_length,
+                added_cond=d_added,
+            )
+            if not cross_arch:
+                # D's frozen base shares the generator's base UNet
+                # weights (both start from the same pretrained model —
+                # gan_sd_model.py:8-13); a cross-arch D keeps its own
+                # tower (the reference loads the SD1.5 snapshot for it)
+                d_params = self._share_base_unet(d_params, params)
             self.d_optimizer = make_d_optimizer(
                 self.tcfg,
                 lr=args.learning_rate_D,

@@ -153,3 +153,67 @@ def test_sdxl_attrcon_train_step():
                          jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["token_loss"]))
     assert np.isfinite(float(metrics["pixel_loss"]))
+
+
+def test_sdxl_with_sd15_arch_discriminator():
+    """The published SDXL recipe's D configuration
+    (scripts/sdxl.sh: --gan_model_arch gansd_1_5): an SD1.5-architecture
+    discriminator scores the SDXL generator's latents, conditioned on
+    the 768-dim CLIP-L null embedding (cross_arch GanConfig)."""
+    from comat_tpu.config import UNetConfig
+
+    pcfg = make_pipeline_config("sdxl", lora_rank=4, resolution=RES, tiny=True)
+    pipe = DiffusionPipeline(pcfg)
+    blip = BLIPCaptioner(BLIPConfig.tiny())
+    k = jax.random.PRNGKey(0)
+    params = pipe.init_params(k)
+
+    B = 2
+    tok = HashTokenizer(1000)
+    prompts = ["a red car", "two cats"]
+    enc = tok(prompts, max_length=pcfg.text.max_length)
+    null = tok([""] * B, max_length=pcfg.text.max_length)
+    cap = build_caption_batch(tok, prompts)
+    S = 24
+    pad = lambda a, v: np.pad(a, ((0, 0), (0, S - a.shape[1])),
+                              constant_values=v)
+    batch = {
+        "input_ids": jnp.asarray(enc["input_ids"]),
+        "input_ids2": jnp.asarray(enc["input_ids"]),
+        "eos_positions": jnp.asarray(enc["eos_positions"]),
+        "null_ids": jnp.asarray(null["input_ids"]),
+        "caption_ids": jnp.asarray(pad(cap["input_ids"], 0)),
+        "caption_mask": jnp.asarray(pad(cap["attention_mask"], 0)),
+        "caption_labels": jnp.asarray(pad(cap["labels"], -100)),
+        "gt_latents": jax.random.normal(k, (B, RES // 8, RES // 8, 4)),
+    }
+    blip_params = blip.init(
+        k, jnp.zeros((1, 64, 64, 3)), batch["caption_ids"][:1],
+        batch["caption_mask"][:1], batch["caption_labels"][:1],
+    )
+    tcfg = TrainConfig(total_step=10, K=3, resolution=RES, gan_loss=True)
+    opt = make_optimizer(tcfg)
+    state, frozen = init_train_state(params, tcfg, opt)
+
+    # D: SD1.5-family tiny UNet, context = the CLIP-L (here: tiny text
+    # tower) hidden size, no added_cond
+    d_cfg = UNetConfig.tiny(cross_attention_dim=pcfg.text.hidden_size)
+    disc = Discriminator(d_cfg, GanConfig(lora_rank=4, cross_arch=True))
+    d_params = disc.init_params(
+        jax.random.fold_in(k, 5), latent_size=RES // 8,
+        context_dim=pcfg.text.hidden_size,
+        context_len=pcfg.text.max_length,
+    )
+    d_opt = make_d_optimizer(tcfg)
+    d_state, d_frozen = init_disc_state(d_params, d_opt)
+
+    step = jax.jit(
+        make_train_step(pipe, blip, tcfg, opt, disc=disc, d_optimizer=d_opt)
+    )
+    state2, d_state2, metrics = step(
+        state, frozen, blip_params, batch, jax.random.PRNGKey(1),
+        d_state, d_frozen,
+    )
+    for key in ["step_loss", "G_loss", "D_loss", "reward_blip"]:
+        assert np.isfinite(float(metrics[key])), key
+    assert int(state2.step) == 1
