@@ -149,6 +149,33 @@ class CLIPBPETokenizer:
         """BOS + tokens + EOS (untruncated), HF `tokenizer.encode` style."""
         return [self.bos_token_id] + self.tokenize(text) + [self.eos_token_id]
 
+    def encode_to_tokens(self, text: str) -> List[str]:
+        """Wordpiece strings of the untruncated encoding, BOS/EOS
+        included, '</w>' kept on word-final pieces — what HF
+        `convert_ids_to_tokens(tokenizer(p).input_ids)` yields
+        (consumed by linguistics.get_indices; reference
+        attribute_concen_utils.py:134-143)."""
+        byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+
+        def _piece_to_text(piece: str) -> str:
+            suffix = ""
+            if piece.endswith("</w>"):
+                piece, suffix = piece[:-4], "</w>"
+            raw = bytearray(
+                byte_decoder[c] for c in piece if c in byte_decoder
+            )
+            return raw.decode("utf-8", errors="replace") + suffix
+
+        text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
+        pieces: List[str] = ["<|startoftext|>"]
+        for tok in _CLIP_PAT.findall(text):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            pieces.extend(
+                _piece_to_text(t) for t in self.bpe(tok).split(" ")
+            )
+        pieces.append("<|endoftext|>")
+        return pieces
+
     def decode(self, ids: Sequence[int]) -> str:
         text = "".join(self.decoder[i] for i in ids)
         byte_decoder = {v: k for k, v in self.byte_encoder.items()}
@@ -275,11 +302,26 @@ class HashTokenizer:
         h = int(hashlib.md5(w.encode()).hexdigest(), 16)
         return 3 + (h % (self.vocab_size - 3))
 
+    @staticmethod
+    def _words(text: str) -> List[str]:
+        # CLIP-style pre-tokenization (punctuation split off) so
+        # wordpiece positions line up with CLIPBPETokenizer's.
+        return _CLIP_PAT.findall(text.lower())
+
     def tokenize(self, text: str) -> List[int]:
-        return [self._wid(w) for w in text.lower().split()]
+        return [self._wid(w) for w in self._words(text)]
 
     def encode(self, text: str) -> List[int]:
         return [self.bos_token_id] + self.tokenize(text) + [self.eos_token_id]
+
+    def encode_to_tokens(self, text: str) -> List[str]:
+        """Whole words as single 'wordpieces' (one id per word), CLIP
+        framing — see CLIPBPETokenizer.encode_to_tokens."""
+        return (
+            ["<|startoftext|>"]
+            + [w + "</w>" for w in self._words(text)]
+            + ["<|endoftext|>"]
+        )
 
     def decode(self, ids: Sequence[int]) -> str:
         return " ".join(f"<{i}>" for i in ids)
