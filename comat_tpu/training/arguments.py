@@ -162,6 +162,16 @@ def parse_args(argv=None):
     p.add_argument("--mesh_model_axis", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="jax.profiler trace output dir")
+    p.add_argument("--caption_model_path", type=str, default=None,
+                   help="local snapshot dir for the frozen caption "
+                        "reward model (Salesforce/blip-image-"
+                        "captioning-large); a repo id resolves "
+                        "through --cache_dir")
+    p.add_argument("--allow_smoke", action="store_true",
+                   help="permit fidelity-degrading fallbacks (hash "
+                        "tokenizer, zero GAN-GT latents, random "
+                        "caption-model weights) in non-tiny runs — "
+                        "smoke testing only")
 
     args = p.parse_args(argv)
 
