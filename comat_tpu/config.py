@@ -196,6 +196,9 @@ class BLIPConfig:
     pad_token_id: int = 0
     bos_token_id: int = 30522  # [DEC]
     sep_token_id: int = 102
+    # HF BlipTextConfig default; the published captioning checkpoints
+    # do not override it, so the reference reward is unsmoothed CE
+    label_smoothing: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @staticmethod

@@ -4,9 +4,11 @@ reward (reference: concept_mat_utils/caption_blip.py).
 Architecture: ViT vision encoder (patch16, CLS token, pre-LN blocks)
 + BERT-style causal text decoder with per-layer cross-attention to the
 vision states, LM head with transform block. The reward is minus the
-caption LM loss: shifted cross-entropy with label smoothing 0.1 and
-ignore_index -100 — matching HF `BlipTextLMHeadModel` exactly, since
-step-loss parity with the reference flows through this number.
+caption LM loss: shifted cross-entropy with configurable label
+smoothing (0.0 for the published checkpoint — its hub config leaves
+HF's default) and ignore_index -100 — matching HF
+`BlipTextLMHeadModel` exactly, since step-loss parity with the
+reference flows through this number.
 
 Only the forward pass exists (the model is frozen:
 caption_blip.py:20-21); it must be differentiable w.r.t. the *image*
@@ -213,7 +215,13 @@ class BLIPCaptioner(nn.Module):
         labels: jnp.ndarray,          # (B, S) with IGNORE_INDEX masking
     ) -> jnp.ndarray:
         """Caption LM loss, matching HF BlipTextLMHeadModel: shifted CE,
-        label_smoothing=0.1, mean over non-ignored tokens."""
+        label_smoothing from config, mean over non-ignored tokens.
+
+        The published Salesforce/blip-image-captioning-large hub config
+        does not set `label_smoothing`, so HF defaults it to 0.0 — the
+        reference's reward (caption_blip.py:58 `-outputs.loss`) is an
+        UNsmoothed CE; 0.1 (the original BLIP repo value) is kept
+        available via BLIPConfig for experimentation."""
         image_embeds = self.vision(pixel_values)
         logits = self.decode_logits(input_ids, attention_mask, image_embeds)
         logits = logits[:, :-1]
@@ -222,9 +230,12 @@ class BLIPCaptioner(nn.Module):
         safe_labels = jnp.where(valid, labels, 0)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-        smooth = -jnp.mean(logp, axis=-1)
-        eps = 0.1
-        per_tok = (1.0 - eps) * nll + eps * smooth
+        eps = self.cfg.label_smoothing
+        if eps:
+            smooth = -jnp.mean(logp, axis=-1)
+            per_tok = (1.0 - eps) * nll + eps * smooth
+        else:
+            per_tok = nll
         per_tok = jnp.where(valid, per_tok, 0.0)
         return per_tok.sum() / jnp.maximum(valid.sum(), 1)
 

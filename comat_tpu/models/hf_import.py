@@ -145,7 +145,18 @@ def _unet_hf_name(path: Tuple[str, ...]) -> Optional[Tuple[str, Callable]]:
             if s2 == "ff":
                 n, f = dense_leaf()
                 if p[3] == "proj_in":
-                    return f"{bb}.ff.net.0.proj.{n}", f
+                    # our GEGLU kernel is (dim, 2, 4*dim) / bias
+                    # (2, 4*dim) — HF's flat (8*dim, dim) columns are
+                    # [values, gates], which is exactly the row-major
+                    # reshape (models/unet.py FeedForward)
+                    def geglu_f(x, _k=is_kernel):
+                        x = np.asarray(x)
+                        if _k:
+                            x = x.T
+                            return x.reshape(x.shape[0], 2, -1)
+                        return x.reshape(2, -1)
+
+                    return f"{bb}.ff.net.0.proj.{n}", geglu_f
                 return f"{bb}.ff.net.2.{n}", f
 
     m = re.fullmatch(r"down_(\d+)_downsample", top)

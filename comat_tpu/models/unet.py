@@ -154,15 +154,26 @@ class Attention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU feed-forward (diffusers BasicTransformerBlock default)."""
+    """GEGLU feed-forward (diffusers BasicTransformerBlock default).
+
+    The fused value|gate projection is a DenseGeneral with features
+    (2, 4*dim) — kernel (dim, 2, 4*dim), same matmul as the flat
+    (dim, 8*dim) layout with columns ordered [values, gates]. Keeping
+    value/gate on a leading size-2 axis lets tensor parallelism shard
+    the LAST axis so each model-shard holds matching value and gate
+    columns (parallel/tp.py) — the split below then needs no
+    resharding, and proj_out row-parallel closes with one all-reduce.
+    """
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
-        h = nn.Dense(dim * 8, dtype=self.dtype, name="proj_in")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
+        h = nn.DenseGeneral(
+            (2, dim * 4), dtype=self.dtype, name="proj_in"
+        )(x)
+        h, gate = h[..., 0, :], h[..., 1, :]
         # exact (erf) GELU to match torch F.gelu
         h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)

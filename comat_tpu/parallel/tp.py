@@ -27,6 +27,7 @@ def _spec_for(keys, shape, model_size: int) -> P:
     """PartitionSpec for one UNet/text param leaf."""
     ks = [str(k) for k in keys]
     path = "/".join(ks)
+    leaf_name = ks[-1] if ks else ""
     # attention projections (LoRADense: .../to_q/base/kernel)
     if any(f"/{p}/base/kernel" in "/" + path for p in ("to_q", "to_k", "to_v")):
         if len(shape) == 2 and shape[1] % model_size == 0:
@@ -34,9 +35,20 @@ def _spec_for(keys, shape, model_size: int) -> P:
     if "/to_out/base/kernel" in "/" + path:
         if len(shape) == 2 and shape[0] % model_size == 0:
             return P(MODEL_AXIS, None)      # row parallel
-    # NOTE: the GEGLU feed-forward stays replicated — its fused
-    # (value|gate) projection would need an interleaved layout to keep
-    # both halves co-sharded after the split.
+    # GEGLU feed-forward (models/unet.py FeedForward): the fused
+    # value|gate kernel is (dim, 2, 4*dim), so sharding the LAST axis
+    # keeps each shard's value and gate columns paired — column
+    # parallel in, row parallel out, one all-reduce per FF.
+    if "/ff/proj_in/" in "/" + path + "/":
+        if leaf_name == "kernel" and len(shape) == 3 \
+                and shape[2] % model_size == 0:
+            return P(None, None, MODEL_AXIS)
+        if leaf_name == "bias" and len(shape) == 2 \
+                and shape[1] % model_size == 0:
+            return P(None, MODEL_AXIS)
+    if "/ff/proj_out/kernel" in "/" + path:
+        if len(shape) == 2 and shape[0] % model_size == 0:
+            return P(MODEL_AXIS, None)      # row parallel
     return P()  # replicated
 
 

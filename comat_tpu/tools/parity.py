@@ -1,0 +1,527 @@
+"""One-command numerical parity harness (BASELINE.json north star:
+SD1.5 CoMat step-loss parity <= 1e-3 vs the reference).
+
+Three tiers, each printing PASS/FAIL/SKIP per check and exiting
+non-zero on any FAIL:
+
+  python -m comat_tpu.tools.parity
+      Synthetic tier (no weights needed, CI-runnable): builds RANDOM
+      torch `transformers` CLIP / BLIP models on tiny geometry, feeds
+      their state dicts through our converters (models/hf_import.py),
+      and compares fp32 logits/losses of the torch reference
+      implementation against our Flax models — validating both the
+      weight mapping AND our forward math against the stack the
+      reference uses (concept_mat_utils/caption_blip.py,
+      training_utils/pipeline.py). UNet/VAE (diffusers is not
+      installed here) are covered by a converter round-trip: our
+      params -> HF-layout tensors -> converter -> bitwise match.
+
+  python -m comat_tpu.tools.parity --snapshot DIR [--blip DIR]
+      Real-weight tier: same CLIP/BLIP torch-vs-ours logit comparison
+      with the snapshot's weights, plus unmapped-leaf audits of the
+      full UNet/CLIP/VAE load.
+
+  python -m comat_tpu.tools.parity --snapshot DIR --fixture F [--record]
+      Step-loss fixture: runs the SD1.5 CoMat train-step loss in fp32
+      with the fixture's prompts/seed and compares against
+      `expected_loss` (recorded from the reference,
+      training_script.py:592-664) within 1e-3. --record writes the
+      measured value into the fixture instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+_RESULTS = []
+
+
+def _report(name: str, status: str, detail: str = ""):
+    _RESULTS.append((name, status, detail))
+    print(f"[{status:>4}] {name}" + (f" — {detail}" if detail else ""))
+
+
+def _finish() -> int:
+    fails = [r for r in _RESULTS if r[1] == "FAIL"]
+    print(
+        f"\n{len(_RESULTS)} checks: "
+        f"{sum(1 for r in _RESULTS if r[1] == 'PASS')} pass, "
+        f"{len(fails)} fail, "
+        f"{sum(1 for r in _RESULTS if r[1] == 'SKIP')} skip"
+    )
+    return 1 if fails else 0
+
+
+# ---------------------------------------------------------------------
+# Converter round-trip (UNet / VAE): our params -> HF layout -> back
+# ---------------------------------------------------------------------
+
+def _inverse_candidates(x: np.ndarray):
+    """HF-layout candidates for one of our leaves; the caller keeps the
+    first whose forward transform reproduces the leaf exactly."""
+    yield x
+    if x.ndim == 2:
+        yield x.T
+        # SD1.5 stores transformer proj_in/out as 1x1 convs (O,I,1,1)
+        yield x.T[:, :, None, None]
+    elif x.ndim == 3:
+        # fused GEGLU (dim, 2, 4d) <- HF flat (8d, dim)
+        yield x.reshape(x.shape[0], -1).T
+        yield x.reshape(-1)
+    elif x.ndim == 4:
+        yield np.transpose(x, (3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def export_hf_tensors(tree, mapper):
+    """Inverse of convert_tree for bijective mappings: produce the HF
+    tensor dict that converts back to `tree` bitwise. Raises on any
+    leaf with no invertible candidate (fused multi-leaf targets like
+    BLIP's qkv are out of scope — UNet/VAE/CLIP have none)."""
+    import jax
+
+    from comat_tpu.models.hf_import import _path_keys
+
+    tensors = {}
+
+    def visit(path, leaf):
+        if leaf is None:
+            return leaf
+        keys = _path_keys(path)
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        if any(k.startswith("lora_") for k in keys):
+            return leaf
+        res = mapper(keys)
+        if res is None:
+            raise KeyError(f"unmapped leaf {'/'.join(keys)}")
+        name, f = res
+        x = np.asarray(leaf, np.float32)
+        for cand in _inverse_candidates(x):
+            try:
+                back = np.asarray(f(cand), np.float32)
+            except Exception:
+                continue
+            if back.shape == x.shape and np.array_equal(back, x):
+                tensors[name] = np.ascontiguousarray(cand)
+                return leaf
+        raise ValueError(f"no invertible HF layout for {'/'.join(keys)}")
+
+    jax.tree_util.tree_map_with_path(
+        visit, tree, is_leaf=lambda v: v is None
+    )
+    return tensors
+
+
+def check_roundtrip(name, model_params, mapper):
+    import jax
+
+    from comat_tpu.models.hf_import import convert_tree
+
+    try:
+        tensors = export_hf_tensors(model_params, mapper)
+        out, missing = convert_tree(model_params, tensors, mapper)
+        assert not missing, f"{len(missing)} missing: {missing[:3]}"
+        for a, b in zip(
+            jax.tree_util.tree_leaves(model_params),
+            jax.tree_util.tree_leaves(out),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        _report(f"{name}_converter_roundtrip", "PASS",
+                f"{len(tensors)} tensors bijective")
+    except Exception as e:
+        _report(f"{name}_converter_roundtrip", "FAIL", str(e)[:200])
+
+
+# ---------------------------------------------------------------------
+# CLIP: torch transformers vs our Flax encoder, fp32 logits
+# ---------------------------------------------------------------------
+
+def check_clip(state_dict=None, hf_cfg=None, tol=2e-5):
+    """state_dict=None -> synthetic tiny torch model, random weights."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import transformers
+
+    import comat_tpu.config as cfg_lib
+    from comat_tpu.models.clip_text import CLIPTextEncoder
+    from comat_tpu.models.hf_import import _clip_hf_name, convert_tree
+
+    if state_dict is None:
+        hf_cfg = transformers.CLIPTextConfig(
+            vocab_size=1000, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            max_position_embeddings=77, hidden_act="quick_gelu",
+            # a non-2 eos id selects the modern first-EOS pooling path;
+            # the legacy ==2 path argmaxes raw ids, which only works
+            # when EOS is the vocab's top id (true for real CLIP)
+            bos_token_id=0, eos_token_id=999,
+        )
+        torch.manual_seed(0)
+        tm = transformers.CLIPTextModel(hf_cfg).eval()
+    else:
+        tm = transformers.CLIPTextModel(hf_cfg).eval()
+        tm.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in state_dict.items()},
+            strict=False,
+        )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    ours_cfg = cfg_lib.CLIPTextConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        max_length=hf_cfg.max_position_embeddings,
+        hidden_act=hf_cfg.hidden_act,
+        dtype=jnp.float32,
+    )
+    enc = CLIPTextEncoder(ours_cfg)
+    rng = np.random.RandomState(0)
+    B, S = 2, hf_cfg.max_position_embeddings
+    eos_id = hf_cfg.eos_token_id
+    ids = rng.randint(1, min(hf_cfg.vocab_size, eos_id), size=(B, S))
+    # CLIPTextModel pools at argmax(ids == eos); plant a unique EOS
+    ids[ids == eos_id] = 1
+    eos_pos = np.array([S // 2, S - 3])
+    for b in range(B):
+        ids[b, eos_pos[b]:] = eos_id
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    params, missing = convert_tree(params, sd, _clip_hf_name)
+    missing = [m for m in missing if "text_projection" not in m]
+    if missing:
+        _report("clip_torch_parity", "FAIL",
+                f"{len(missing)} unmapped: {missing[:3]}")
+        return
+    with torch.no_grad():
+        t_out = tm(input_ids=torch.as_tensor(ids))
+    hidden, pooled = enc.apply(
+        params, jnp.asarray(ids), eos_positions=jnp.asarray(eos_pos)
+    )
+    dh = np.abs(
+        np.asarray(hidden, np.float32)
+        - t_out.last_hidden_state.numpy()
+    ).max()
+    dp = np.abs(
+        np.asarray(pooled, np.float32) - t_out.pooler_output.numpy()
+    ).max()
+    if dh <= tol and dp <= tol:
+        _report("clip_torch_parity", "PASS",
+                f"max|Δhidden|={dh:.2e} max|Δpooled|={dp:.2e}")
+    else:
+        _report("clip_torch_parity", "FAIL",
+                f"max|Δhidden|={dh:.2e} max|Δpooled|={dp:.2e} > {tol}")
+
+
+# ---------------------------------------------------------------------
+# BLIP: torch transformers caption loss vs ours, fp32
+# ---------------------------------------------------------------------
+
+def check_blip(state_dict=None, hf_cfg=None, tol=1e-4):
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import transformers
+
+    from comat_tpu.config import BLIPConfig
+    from comat_tpu.models.blip import BLIPCaptioner, IGNORE_INDEX
+    from comat_tpu.models.hf_import import _blip_hf_name, convert_tree
+
+    if state_dict is None:
+        vcfg = transformers.BlipVisionConfig(
+            image_size=64, patch_size=16, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=64,
+        )
+        tcfg = transformers.BlipTextConfig(
+            vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            encoder_hidden_size=32, max_position_embeddings=512,
+            is_decoder=True, bos_token_id=1,
+        )
+        hf_cfg = transformers.BlipConfig(
+            text_config=tcfg.to_dict(), vision_config=vcfg.to_dict()
+        )
+        torch.manual_seed(0)
+        tm = transformers.BlipForConditionalGeneration(hf_cfg).eval()
+        ours_cfg = BLIPConfig.tiny(vocab_size=1000)
+    else:
+        tm = transformers.BlipForConditionalGeneration(hf_cfg).eval()
+        tm.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in state_dict.items()},
+            strict=False,
+        )
+        ours_cfg = BLIPConfig.large()
+        ours_cfg = ours_cfg.__class__(
+            **{**ours_cfg.__dict__, "dtype": jnp.float32}
+        )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    blip = BLIPCaptioner(
+        BLIPConfig(**{**ours_cfg.__dict__, "dtype": jnp.float32})
+    )
+    rng = np.random.RandomState(1)
+    B, S = 2, 8
+    H = ours_cfg.image_size
+    pix = rng.randn(B, H, H, 3).astype(np.float32)
+    ids = rng.randint(4, ours_cfg.vocab_size, size=(B, S))
+    ids[:, 0] = ours_cfg.bos_token_id
+    mask = np.ones((B, S), np.int64)
+    mask[1, 6:] = 0
+    labels = np.where(mask == 1, ids, IGNORE_INDEX)
+    labels[:, 0] = IGNORE_INDEX  # HF masks the BOS position via -100
+
+    params = blip.init(
+        jax.random.PRNGKey(0), jnp.asarray(pix), jnp.asarray(ids),
+        jnp.asarray(mask), jnp.asarray(labels),
+    )
+    params, missing = convert_tree(params, sd, _blip_hf_name)
+    if missing:
+        _report("blip_torch_parity", "FAIL",
+                f"{len(missing)} unmapped: {missing[:3]}")
+        return
+    with torch.no_grad():
+        t_loss = tm(
+            pixel_values=torch.as_tensor(
+                np.transpose(pix, (0, 3, 1, 2))
+            ),
+            input_ids=torch.as_tensor(ids),
+            attention_mask=torch.as_tensor(mask),
+            labels=torch.as_tensor(labels),
+        ).loss.item()
+    ours = float(blip.apply(
+        params, jnp.asarray(pix), jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(labels),
+    ))
+    d = abs(ours - t_loss)
+    if d <= tol:
+        _report("blip_torch_parity", "PASS",
+                f"torch={t_loss:.6f} ours={ours:.6f} |Δ|={d:.2e}")
+    else:
+        _report("blip_torch_parity", "FAIL",
+                f"torch={t_loss:.6f} ours={ours:.6f} |Δ|={d:.2e} > {tol}")
+
+
+# ---------------------------------------------------------------------
+# Real-snapshot audits + step-loss fixture
+# ---------------------------------------------------------------------
+
+def check_snapshot_load(snapshot: str, xl: bool):
+    import jax
+
+    from comat_tpu.models.pipeline import (
+        DiffusionPipeline, make_pipeline_config,
+    )
+
+    name = "sdxl" if xl else "sd_1_5"
+    pcfg = make_pipeline_config(name, lora_rank=4)
+    pipe = DiffusionPipeline(pcfg)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    import logging
+
+    misses = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: misses.append(rec.getMessage())
+    logging.getLogger("comat_tpu").addHandler(handler)
+    try:
+        from comat_tpu.models.hf_import import load_sd_params
+
+        load_sd_params(snapshot, params, pcfg)
+    finally:
+        logging.getLogger("comat_tpu").removeHandler(handler)
+    unmapped = [m for m in misses if "unmapped" in m]
+    if unmapped:
+        _report("snapshot_full_load", "FAIL", "; ".join(unmapped)[:200])
+    else:
+        _report("snapshot_full_load", "PASS",
+                f"all {name} leaves mapped from {snapshot}")
+
+
+def check_step_loss(snapshot: str, fixture: str, record: bool):
+    """SD1.5 CoMat step loss in fp32 on the fixture's prompts/seed vs
+    the reference-recorded expected value (<=1e-3)."""
+    import jax
+    import jax.numpy as jnp
+
+    with open(fixture) as f:
+        fx = json.load(f)
+
+    from comat_tpu.config import BLIPConfig
+    from comat_tpu.models.blip import BLIPCaptioner
+    from comat_tpu.models.hf_import import (
+        load_blip_params, load_sd_params,
+    )
+    from comat_tpu.models.pipeline import (
+        DiffusionPipeline, make_pipeline_config,
+    )
+    from comat_tpu.text.tokenizer import load_clip_tokenizer
+    from comat_tpu.training.data import assemble_batch
+    from comat_tpu.training.train_step import (
+        TrainConfig, init_train_state, make_optimizer, make_train_step,
+    )
+
+    pcfg = make_pipeline_config(
+        "sd_1_5", lora_rank=fx.get("lora_rank", 128),
+        resolution=fx.get("resolution", 512),
+    )
+    pipe = DiffusionPipeline(pcfg)
+    params = pipe.init_params(jax.random.PRNGKey(fx.get("seed", 0)))
+    params = load_sd_params(snapshot, params, pcfg)
+    blip_cfg = BLIPConfig.large()
+    blip = BLIPCaptioner(blip_cfg)
+    S = 8
+    blip_params = blip.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, blip_cfg.image_size, blip_cfg.image_size, 3)),
+        jnp.zeros((1, S), jnp.int32), jnp.ones((1, S), jnp.int32),
+        jnp.zeros((1, S), jnp.int32),
+    )
+    blip_dir = fx.get("blip_snapshot")
+    if blip_dir and os.path.isdir(blip_dir):
+        blip_params = load_blip_params(blip_dir, blip_params)
+    tok = load_clip_tokenizer(os.path.join(snapshot, "tokenizer"))
+    tcfg = TrainConfig(
+        total_step=fx.get("total_step", 50), K=fx.get("K", 5),
+        guidance_scale=fx.get("cfg_scale", 7.5),
+        resolution=fx.get("resolution", 512),
+        learning_rate=5e-5,
+    )
+    opt = make_optimizer(tcfg)
+    state, frozen = init_train_state(params, tcfg, opt)
+    batch = assemble_batch(
+        fx["prompts"], tok, tok, max_length=pcfg.text.max_length
+    )
+    step = jax.jit(make_train_step(pipe, blip, tcfg, opt))
+    _, _, metrics = step(
+        state, frozen, blip_params, batch,
+        jax.random.PRNGKey(fx.get("seed", 0)),
+    )
+    loss = float(metrics["step_loss"])
+    if record or fx.get("expected_loss") is None:
+        fx["expected_loss"] = loss
+        with open(fixture, "w") as f:
+            json.dump(fx, f, indent=1)
+        _report("step_loss_fixture", "PASS" if record else "SKIP",
+                f"recorded measured step_loss={loss:.6f} into {fixture}")
+        return
+    d = abs(loss - fx["expected_loss"])
+    if d <= 1e-3:
+        _report("step_loss_fixture", "PASS",
+                f"loss={loss:.6f} expected={fx['expected_loss']:.6f} "
+                f"|Δ|={d:.2e}")
+    else:
+        _report("step_loss_fixture", "FAIL",
+                f"loss={loss:.6f} expected={fx['expected_loss']:.6f} "
+                f"|Δ|={d:.2e} > 1e-3")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--snapshot", default=None,
+                    help="diffusers SD snapshot dir (unet/ vae/ "
+                         "text_encoder/ tokenizer/)")
+    ap.add_argument("--blip", default=None,
+                    help="BLIP captioner snapshot dir")
+    ap.add_argument("--fixture", default=None,
+                    help="step-loss fixture JSON "
+                         "(fixtures/step_loss_sd15.json)")
+    ap.add_argument("--record", action="store_true",
+                    help="write the measured step loss into --fixture")
+    ap.add_argument("--tol", type=float, default=2e-5)
+    ap.add_argument("--platform", choices=("cpu", "native"),
+                    default="cpu",
+                    help="cpu (default): run our side on the CPU "
+                         "backend so fp32 math is exact against CPU "
+                         "torch; native: whatever jax picks (TPU "
+                         "matmuls then run at 'highest' precision)")
+    args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # fp32 comparisons: never let TPU matmuls silently drop to bf16
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import jax.numpy as jnp
+
+    from comat_tpu.config import CLIPTextConfig, UNetConfig, VAEConfig
+    from comat_tpu.models.clip_text import CLIPTextEncoder
+    from comat_tpu.models.hf_import import (
+        _clip_hf_name, _unet_hf_name, _vae_hf_name,
+    )
+    from comat_tpu.models.unet import UNet2DCondition
+    from comat_tpu.models.vae import AutoencoderKL
+
+    # Tier 1: synthetic (always runs)
+    check_clip(tol=args.tol)
+    check_blip()
+    K = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(UNetConfig.tiny(), lora_rank=0)
+    up = unet.init(K, jnp.zeros((1, 16, 16, 4)),
+                   jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 32)))
+    check_roundtrip("unet", up, _unet_hf_name)
+    vae = AutoencoderKL(VAEConfig.tiny())
+    vp = vae.init(K, jnp.zeros((1, 32, 32, 3)))
+    check_roundtrip("vae", vp, _vae_hf_name)
+    clip = CLIPTextEncoder(CLIPTextConfig.tiny())
+    cp = clip.init(K, jnp.zeros((1, 77), jnp.int32))
+    check_roundtrip("clip", cp, _clip_hf_name)
+
+    # Tier 2: real snapshot
+    if args.snapshot:
+        if os.path.isdir(args.snapshot):
+            check_snapshot_load(args.snapshot, xl=False)
+            te = os.path.join(args.snapshot, "text_encoder")
+            if os.path.isdir(te):
+                import transformers
+
+                tm = transformers.CLIPTextModel.from_pretrained(te)
+                check_clip(
+                    state_dict={
+                        k: v.detach().numpy()
+                        for k, v in tm.state_dict().items()
+                    },
+                    hf_cfg=tm.config, tol=args.tol,
+                )
+        else:
+            _report("snapshot_full_load", "SKIP",
+                    f"{args.snapshot} is not a directory — real "
+                    "weights absent in this environment")
+    else:
+        _report("snapshot_full_load", "SKIP", "--snapshot not given")
+
+    if args.blip and os.path.isdir(args.blip):
+        import transformers
+
+        tm = transformers.BlipForConditionalGeneration.from_pretrained(
+            args.blip
+        )
+        check_blip(
+            state_dict={
+                k: v.detach().numpy() for k, v in tm.state_dict().items()
+            },
+            hf_cfg=tm.config,
+        )
+
+    # Tier 3: step-loss fixture
+    if args.fixture and args.snapshot and os.path.isdir(args.snapshot):
+        check_step_loss(args.snapshot, args.fixture, args.record)
+    else:
+        _report("step_loss_fixture", "SKIP",
+                "needs --snapshot (real weights) + --fixture")
+
+    return _finish()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

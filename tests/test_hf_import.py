@@ -51,7 +51,11 @@ def _check_mapping(tree, mapper, allow_missing=()):
                       (leaf.shape[1] * 3, leaf.shape[0]),  # fused qkv
                       (1, 1, leaf.shape[1])]  # cls_token from (D,)...
         if len(leaf.shape) == 3:
-            cands += [(leaf.shape[-1],)]  # class_embedding (D,)
+            cands += [
+                (leaf.shape[-1],),  # class_embedding (D,)
+                # fused GEGLU value|gate: HF flat (8d, dim)
+                (leaf.shape[1] * leaf.shape[2], leaf.shape[0]),
+            ]
         if len(leaf.shape) == 4:
             cands += [tuple(np.array(leaf.shape)[[3, 2, 0, 1]])]
         ok = False

@@ -130,9 +130,13 @@ def test_vae_roundtrip_shapes():
 
 def test_blip_caption_loss_golden():
     """Check label-smoothing CE against a hand-rolled numpy golden
-    (torch CrossEntropyLoss(label_smoothing=0.1, ignore_index=-100)
-    semantics, as HF BlipTextLMHeadModel uses)."""
-    cfg = BLIPConfig.tiny()
+    (torch CrossEntropyLoss(label_smoothing=eps, ignore_index=-100)
+    semantics, as HF BlipTextLMHeadModel uses; the published reward
+    checkpoint runs eps=0.0, here 0.1 to exercise the smoothing
+    term)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(BLIPConfig.tiny(), label_smoothing=0.1)
     model = BLIPCaptioner(cfg)
     B, S = 2, 6
     img = jax.random.normal(K, (B, cfg.image_size, cfg.image_size, 3))

@@ -119,3 +119,21 @@ def test_evaluate_cli_tiny(tmp_path):
     assert {"prompt", "blip_reward"} <= set(lines[0])
     assert lines[-1]["n"] == 3
     assert np.isfinite(lines[-1]["mean_blip_reward"])
+
+
+def test_parity_synthetic_tier():
+    """The one-command parity harness's synthetic tier (no weights
+    needed): torch-vs-ours CLIP/BLIP fp32 logit parity + UNet/VAE/CLIP
+    converter round-trips must all pass."""
+    from comat_tpu.tools import parity
+
+    parity._RESULTS.clear()
+    rc = parity.main(["--platform", "cpu"])
+    assert rc == 0, parity._RESULTS
+    status = {name: st for name, st, _ in parity._RESULTS}
+    for check in (
+        "clip_torch_parity", "blip_torch_parity",
+        "unet_converter_roundtrip", "vae_converter_roundtrip",
+        "clip_converter_roundtrip",
+    ):
+        assert status.get(check) == "PASS", (check, parity._RESULTS)

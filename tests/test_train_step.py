@@ -203,6 +203,27 @@ def test_train_step_dp_plus_tp_mesh():
         and not v.sharding.is_fully_replicated
     ]
     assert sharded, "expected to_q kernels sharded over model axis"
+    # GEGLU FF: fused value|gate kernel column-parallel on its LAST
+    # axis (value/gate co-sharded), proj_out row-parallel
+    def _keys(p):
+        return [str(getattr(q, "key", q)) for q in p]
+
+    ff_in = [
+        (p, v) for p, v in flat
+        if v is not None and "ff" in _keys(p) and "proj_in" in _keys(p)
+        and _keys(p)[-1] == "kernel"
+    ]
+    ff_out = [
+        (p, v) for p, v in flat
+        if v is not None and "ff" in _keys(p) and "proj_out" in _keys(p)
+        and _keys(p)[-1] == "kernel"
+    ]
+    assert ff_in and ff_out
+    for p, v in ff_in:
+        assert v.ndim == 3
+        assert v.sharding.spec == P(None, None, "model"), (p, v.sharding)
+    for p, v in ff_out:
+        assert v.sharding.spec == P("model", None), (p, v.sharding)
 
 
 def test_textenc_lr_group():
