@@ -155,6 +155,7 @@ def sample_comat(
     diff_eps_model: Optional[Callable] = None,
     diff_tree: Any = None,
     aux_tree: Any = None,
+    presampled: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> SampleResult:
     """Full two-pass CoMat sampling. Differentiable through the K
     trained steps only (see module docstring).
@@ -163,14 +164,29 @@ def sample_comat(
     capture=False — captured probabilities are primal outputs and force
     a real forward), the replay uses cached-primal segments: pass 1's
     eps is the primal and the segment forward costs nothing
-    (see _make_cached_primal_eps)."""
+    (see _make_cached_primal_eps).
+
+    `presampled=(eps_table, latents_traj)`: pass 1 already ran in a
+    separate no-grad program (the trainer's presample step, needed when
+    a host stage — e.g. Grounded-SAM segmentation — must see the
+    generated image before the grad program runs; the axon TPU relay
+    has no in-graph host callbacks). The tables are consumed as
+    constants and pass 1 is skipped, so sampling is not paid twice;
+    identical `rng` makes the replay's noise (and hence its latents)
+    bitwise-match the presampled trajectory."""
     S = coeffs.timesteps.shape[0]
     K = trained_idx.shape[0]
 
-    x_final_inf, eps_table, traj = sample_inference(
-        eps_model_inference if eps_model_inference is not None else eps_model,
-        coeffs, latents0, rng,
-    )
+    if presampled is not None:
+        eps_table, traj = presampled
+        eps_table = jax.lax.stop_gradient(eps_table)
+        traj = jax.lax.stop_gradient(traj)
+    else:
+        _, eps_table, traj = sample_inference(
+            eps_model_inference
+            if eps_model_inference is not None else eps_model,
+            coeffs, latents0, rng,
+        )
 
     use_cached_primal = diff_eps_model is not None and not capture
     if use_cached_primal:

@@ -339,6 +339,7 @@ class DiffusionPipeline:
         remat: bool = False,
         fuse_pass1: bool = True,
         decode_chunk: Optional[int] = None,
+        presampled: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, SampleResult]:
         """Differentiable online generation. Returns (image, result).
 
@@ -382,27 +383,30 @@ class DiffusionPipeline:
         # fully stop-gradient'd params — keeps the no-VJP kernel out of
         # the autodiff graph entirely. LoRA is folded into the base
         # kernels once here (outside the scan), not re-applied
-        # per-token in each of the 50 forwards.
+        # per-token in each of the 50 forwards. Skipped entirely when
+        # pass 1 already ran in the trainer's presample program.
         sg = jax.lax.stop_gradient
-        params_ng = jax.tree_util.tree_map(sg, params)
-        if fuse_pass1:
-            # fusing duplicates every LoRA-bearing base kernel for the
-            # life of the step (~1.8GB for SDXL) — callers in
-            # memory-tight configs pass fuse_pass1=False and pay the
-            # per-token LoRA matmuls instead
-            params_ng = self.fused_params(params_ng)
-        eps_model_inf = make_cfg_eps_model(
-            lambda lat, t, ctx, ac, cap: self.unet_apply(
-                params_ng, lat, t, ctx, ac, cap, fast=True,
-                fused=fuse_pass1
-            ),
-            sg(enc.context),
-            sg(nenc.context) if guidance_scale > 1.0 else None,
-            guidance_scale,
-            guidance_rescale,
-            None if added is None else {k: sg(v) for k, v in added.items()},
-            None if null_added is None else {k: sg(v) for k, v in null_added.items()},
-        )
+        eps_model_inf = None
+        if presampled is None:
+            params_ng = jax.tree_util.tree_map(sg, params)
+            if fuse_pass1:
+                # fusing duplicates every LoRA-bearing base kernel for
+                # the life of the step (~1.8GB for SDXL) — callers in
+                # memory-tight configs pass fuse_pass1=False and pay
+                # the per-token LoRA matmuls instead
+                params_ng = self.fused_params(params_ng)
+            eps_model_inf = make_cfg_eps_model(
+                lambda lat, t, ctx, ac, cap: self.unet_apply(
+                    params_ng, lat, t, ctx, ac, cap, fast=True,
+                    fused=fuse_pass1
+                ),
+                sg(enc.context),
+                sg(nenc.context) if guidance_scale > 1.0 else None,
+                guidance_scale,
+                guidance_rescale,
+                None if added is None else {k: sg(v) for k, v in added.items()},
+                None if null_added is None else {k: sg(v) for k, v in null_added.items()},
+            )
         # Cached-primal replay (sampler.py _make_cached_primal_eps):
         # all differentiable inputs of the guided eps — the trainable
         # subtree and the prompt encodings — travel explicitly in
@@ -444,16 +448,19 @@ class DiffusionPipeline:
             self.schedule, num_inference_steps, kind="ddpm"
         )
         if latents0 is None:
+            # mirror the split even when presampled (latents0 unused
+            # then) so the per-step noise stream matches presample()
             rng, lrng = jax.random.split(rng)
-            latents0 = prepare_latents(
-                lrng, B, cfg.resolution, cfg.resolution
-            )
+            if presampled is None:
+                latents0 = prepare_latents(
+                    lrng, B, cfg.resolution, cfg.resolution
+                )
         interval = num_inference_steps // K
         res = sample_comat(
             eps_model, coeffs, latents0, rng, trained_idx, interval,
             capture=capture, eps_model_inference=eps_model_inf,
             diff_eps_model=diff_eps_model, diff_tree=diff_tree,
-            aux_tree=aux_tree,
+            aux_tree=aux_tree, presampled=presampled,
         )
         # Decoder per-block remat follows the memory-tight flag: the
         # recompute costs ~53ms/step at SD1.5 bs4 and is only needed
@@ -462,6 +469,67 @@ class DiffusionPipeline:
             params, res.latents, chunk=decode_chunk, remat_blocks=remat
         )
         return image, res
+
+    def presample(
+        self,
+        params: Dict[str, Any],
+        rng: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        null_ids: jnp.ndarray,
+        *,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        eos_positions: Optional[jnp.ndarray] = None,
+        null_eos_positions: Optional[jnp.ndarray] = None,
+        input_ids2: Optional[jnp.ndarray] = None,
+        fuse_pass1: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Pass 1 alone, entirely no-grad: fused LoRA, flash attention,
+        VAE decode. Returns (image01, eps_table, latents_traj).
+
+        Host stages that must see the generated image before the grad
+        program (Grounded-SAM segmentation — the axon TPU relay has no
+        in-graph host callbacks) run between this program and
+        `forward(..., presampled=(eps_table, latents_traj))`, which
+        replays from the tables instead of re-sampling. The rng
+        split/fold structure mirrors forward() exactly, so given the
+        same `rng` the grad program's replay reproduces this
+        trajectory bitwise."""
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        sg = jax.lax.stop_gradient
+        params = jax.tree_util.tree_map(sg, params)
+        enc = self.encode_prompt(params, input_ids, eos_positions, input_ids2)
+        nenc = self.encode_prompt(
+            params, null_ids, null_eos_positions, null_ids
+        )
+        added = null_added = None
+        if cfg.is_sdxl:
+            added = self.sdxl_added_cond(enc.pooled, B)
+            null_added = self.sdxl_added_cond(nenc.pooled, B)
+        params_f = self.fused_params(params) if fuse_pass1 else params
+        eps_model_inf = make_cfg_eps_model(
+            lambda lat, t, ctx, ac, cap: self.unet_apply(
+                params_f, lat, t, ctx, ac, cap, fast=True, fused=fuse_pass1
+            ),
+            enc.context,
+            nenc.context if guidance_scale > 1.0 else None,
+            guidance_scale,
+            guidance_rescale,
+            added,
+            null_added,
+        )
+        coeffs = make_sampler_coeffs(
+            self.schedule, num_inference_steps, kind="ddpm"
+        )
+        rng, lrng = jax.random.split(rng)  # same structure as forward()
+        latents0 = prepare_latents(lrng, B, cfg.resolution, cfg.resolution)
+        x_final, eps_table, traj = sample_inference(
+            eps_model_inf, coeffs, latents0, rng
+        )
+        image = self.decode_image(params, x_final)
+        return image, eps_table, traj
 
     # ---- inference (validation / latent generation) ----
     def generate(

@@ -4,10 +4,12 @@ Composition mirroring the reference GsamSegModel.get_mask
 (attr_concen_utils/gsam_interface.py:54-137): detect boxes for
 ' . '.join(nouns), select mask proposals by box prompt, union per noun;
 undetected nouns yield all-zero masks (:132-133). Implements the
-SegmenterHolder protocol (segmentation/interface.py), so it plugs into
-the training loop's pure_callback bridge unchanged.
+SegmenterHolder protocol (segmentation/interface.py); being
+image-dependent, the trainer feeds it the presample program's decoded
+image on host and passes the resulting masks into the grad program as
+batch inputs (no in-graph callback — unsupported on the axon TPU relay).
 
-Both models run jitted on device from inside the host callback (frozen,
+Both models run jitted on device from the host call site (frozen,
 no gradients). With random weights the masks are noise — weight import
 (FastSAM-x .pt, GroundingDINO swin-t checkpoint) is the remaining
 parity step, tracked for the next round.
@@ -36,6 +38,11 @@ from comat_tpu.segmentation.gdino import (
 
 
 class GroundedSAMSegmenter:
+    # masks depend on the generated pixels -> the trainer must run the
+    # presample program and segment its image between the two jitted
+    # programs (see segmentation/interface.py docstring)
+    image_dependent = True
+
     def __init__(
         self,
         sam_cfg: Optional[YoloSegConfig] = None,

@@ -4,14 +4,21 @@ Reference: attr_concen_utils/gsam_interface.py — FastSAM proposes masks,
 GroundingDINO grounds each noun to boxes, box_prompt unions the masks
 per noun (:64-137), all frozen/no-grad (:54).
 
-The generated image lives on-device inside the jitted train step, and
-the mask models are frozen and OUTSIDE the differentiated graph (the
-reference wraps get_mask in no_grad), so the bridge is a
-`jax.pure_callback` on a stop-gradient'd image: the host segmenter
-receives (B, H, W, 3) uint8-ish arrays and returns dense
-(B, W_max, H, W) float masks. Nouns are host-side strings, carried by a
-mutable per-step holder that the callback reads at run time (strings
-cannot cross the jit boundary).
+The mask models are frozen and OUTSIDE the differentiated graph (the
+reference wraps get_mask in no_grad), and the axon TPU PJRT relay does
+not support host callbacks inside a jitted program — so masks cross
+the jit boundary as explicit batch inputs, not pure_callback results:
+
+  - image-INdependent segmenters (CenterPrior, precomputed stores):
+    masks computed at batch-build time (training/attrcon.py);
+  - image-dependent Grounded-SAM: the trainer runs the no-grad
+    presample program (pass-1 sampling + VAE decode), pulls the
+    (B, H, W, 3) image to host, calls the segmenter, and feeds the
+    (B, W_max, H, W) masks into the grad program. Pass-1 replay makes
+    the presampled tables reusable, so sampling is not paid twice.
+
+Nouns are host-side strings, carried by a mutable per-step holder
+(strings cannot cross the jit boundary).
 
 Implementations:
   - `CenterPriorSegmenter`: dependency-free fallback — a soft center
@@ -42,6 +49,13 @@ class SegmenterHolder:
         self.max_words = max_words
         self.nouns: List[List[str]] = []
 
+    @property
+    def image_dependent(self) -> bool:
+        """True when masks depend on the generated pixels (Grounded-SAM)
+        — requiring the presample program; CenterPrior / precomputed
+        stores only look at the noun strings."""
+        return bool(getattr(self.segmenter, "image_dependent", False))
+
     def set_batch(self, nouns_per_sample: List[List[str]]):
         self.nouns = nouns_per_sample
 
@@ -56,7 +70,10 @@ class SegmenterHolder:
         return out
 
     def device_masks(self, image: jnp.ndarray) -> jnp.ndarray:
-        """Call from inside jit. image (B, H, W, 3) in [0,1]."""
+        """pure_callback bridge — CPU/GPU only (the axon TPU relay
+        rejects host callbacks at execute time; the trainer uses the
+        explicit batch-input path instead). Kept for host-platform
+        experimentation. image (B, H, W, 3) in [0,1]."""
         B, H, W, _ = image.shape
         img = jax.lax.stop_gradient(jnp.clip(image, 0.0, 1.0))
         return jax.pure_callback(

@@ -4,16 +4,28 @@ Builds the `extra_losses` hook: chooses the attrcon step subset
 (reference: random.choices(training_steps, k=attrcon_train_steps) —
 training_script.py:590; with-replacement draws collapse to distinct
 timesteps in the attn dict, reproduced here by scattering 1s into a
-(K,) mask), fetches per-noun masks through the host segmenter bridge,
-and evaluates the grounding losses on the captured attention maps.
+(K,) mask) and evaluates the grounding losses on the captured attention
+maps against per-noun segmentation masks.
+
+Masks arrive as an explicit batch input (`batch["seg_masks"]`,
+(B, max_words, H, W) uint8/float), NOT through an in-graph host
+callback: the axon TPU PJRT relay does not support
+pure_callback/io_callback, and masks are frozen constants anyway (the
+reference wraps get_mask in no_grad, gsam_interface.py:54). For
+image-independent segmenters (CenterPrior, precomputed stores) the
+masks are computed at batch-build time; for the image-dependent
+Grounded-SAM segmenter the trainer runs the no-grad presample program
+first, segments its decoded image on host, and feeds the masks into
+the grad program (training/trainer.py).
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from comat_tpu.losses.grounding import comat_grounding_loss
 from comat_tpu.segmentation.interface import SegmenterHolder
@@ -28,7 +40,9 @@ def make_attrcon_extra_losses(pipeline, holder: SegmenterHolder, cfg):
             jax.random.fold_in(rng, 0xA77C), (A,), 0, K
         )
         step_mask = jnp.zeros((K,), jnp.float32).at[draws].set(1.0)
-        masks = holder.device_masks(image)
+        masks = jax.lax.stop_gradient(
+            batch["seg_masks"].astype(jnp.float32)
+        )
         token_loss, pixel_loss = comat_grounding_loss(
             result.captured,
             step_mask,
@@ -53,12 +67,30 @@ def make_attrcon_extra_losses(pipeline, holder: SegmenterHolder, cfg):
 def attrcon_batch_fields(
     prompts: List[str], tokenizer, holder: SegmenterHolder,
     max_length: int = 77,
+    resolution: Optional[int] = None,
+    image01: Optional[np.ndarray] = None,
 ):
     """Host-side: extract attribute groups, align to CLIP tokens, pad,
-    and arm the segmenter holder with this batch's nouns."""
+    arm the segmenter holder with this batch's nouns, and — whenever the
+    masks are computable now — add `seg_masks` (uint8, (B, W, H, W)).
+
+    Masks are included when the segmenter is image-independent
+    (CenterPrior / precomputed stores ignore the pixels; `resolution`
+    sizes the zero placeholder image) or when `image01` (the decoded
+    presample image, (B, H, W, 3) in [0,1]) is given. The Grounded-SAM
+    path passes `image01` from the presample program's output."""
     groups = [
         extract_attribute_groups(p, tokenizer, max_length) for p in prompts
     ]
     padded = pad_groups(groups, max_words=holder.max_words)
     holder.set_batch(padded.pop("nouns"))
+    if image01 is not None:
+        padded["seg_masks"] = holder.host_masks(
+            np.asarray(image01, np.float32)
+        ).astype(np.uint8)
+    elif resolution is not None and not holder.image_dependent:
+        B = len(prompts)
+        padded["seg_masks"] = holder.host_masks(
+            np.zeros((B, resolution, resolution, 3), np.float32)
+        ).astype(np.uint8)
     return padded

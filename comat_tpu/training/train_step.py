@@ -319,6 +319,13 @@ def make_train_step(
         rngs = jax.random.split(rng, 4)
         trained_idx = sample_trained_idx(rngs[0], cfg)
 
+        # Split attrcon flow (Grounded-SAM): pass 1 already ran in the
+        # presample program (same rng -> identical trajectory); its
+        # tables arrive as batch constants and forward() skips pass 1.
+        presampled = None
+        if "eps_table" in batch:
+            presampled = (batch["eps_table"], batch["latents_traj"])
+
         image, result = pipeline.forward(
             params,
             rngs[1],
@@ -344,6 +351,7 @@ def make_train_step(
             # the VAE in bs-2 chunks (its 512-res activations are the
             # step's HBM peak)
             fuse_pass1=not cfg.gradient_checkpointing,
+            presampled=presampled,
         )
 
         # ---- reward-gradient tap (training_script.py:644-651) ----
@@ -465,3 +473,42 @@ def make_train_step(
         return new_state, new_d_state, metrics
 
     return train_step
+
+
+def make_presample(pipeline, cfg: TrainConfig):
+    """Build the no-grad presample program for the split attrcon flow.
+
+    When the segmenter is image-dependent (Grounded-SAM), the per-step
+    sequence on TPU is:
+
+      1. jit(presample)(state, frozen, batch, rng) -> image + tables
+      2. host: masks = segmenter(image, nouns)      (no in-graph
+         callback — the axon PJRT relay rejects host callbacks)
+      3. jit(train_step)(..., batch + {seg_masks, eps_table,
+         latents_traj}, rng) — forward() replays from the tables, so
+         the 50 sampling forwards are not paid twice.
+
+    rng derivation mirrors train_step/loss_fn exactly (fold_in on
+    state.step, split(4)[1] for the sampler), making the replayed
+    trajectory bitwise-equal to the presampled one."""
+
+    def presample(state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        rngs = jax.random.split(rng, 4)
+        params = merge_params(
+            jax.lax.stop_gradient(state.trainable), frozen
+        )
+        return pipeline.presample(
+            params,
+            rngs[1],
+            batch["input_ids"],
+            batch["null_ids"],
+            num_inference_steps=cfg.total_step,
+            guidance_scale=cfg.guidance_scale,
+            guidance_rescale=cfg.guidance_rescale,
+            eos_positions=batch.get("eos_positions"),
+            input_ids2=batch.get("input_ids2"),
+            fuse_pass1=not cfg.gradient_checkpointing,
+        )
+
+    return presample

@@ -45,6 +45,18 @@ from comat_tpu.training.train_step import (
 )
 
 
+def _local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded (axis 0) global array, in
+    global order — the per-host slice the host-side segmenter should
+    see. Single-host fully-addressable arrays come back whole."""
+    seen = {}
+    for s in arr.addressable_shards:  # dedup model-axis replicas
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
 def _lr_schedule(args):
     import optax
 
@@ -398,6 +410,18 @@ class Trainer:
             ),
             donate_argnums=(0, 5),
         )
+        # Image-dependent segmenter (Grounded-SAM): the masks need the
+        # generated image, and the axon TPU relay cannot run host
+        # callbacks in-graph — run pass 1 as its own program, segment
+        # on host, then feed masks + pass-1 tables to the grad program
+        # (train_step.make_presample docstring).
+        self.presample_step = None
+        if self.seg_holder is not None and self.seg_holder.image_dependent:
+            from comat_tpu.training.train_step import make_presample
+
+            self.presample_step = jax.jit(
+                make_presample(self.pipeline, self.tcfg)
+            )
         self.metrics = MetricsWriter(args.output_dir, args.logging_dir)
         self.timer = StepTimer()
         self._pending_metrics = None
@@ -677,9 +701,12 @@ class Trainer:
                 if self.seg_holder is not None:
                     from comat_tpu.training.attrcon import attrcon_batch_fields
 
+                    # image-independent segmenters get seg_masks here;
+                    # Grounded-SAM gets them from the presample below
                     batch.update(attrcon_batch_fields(
                         prompts, self.clip_tok, self.seg_holder,
                         self.pcfg.text.max_length,
+                        resolution=self.args.resolution,
                     ))
                 if self.disc is not None and "gt_latents" not in batch:
                     # GAN without a latent store: zeros as GT (smoke
@@ -690,6 +717,20 @@ class Trainer:
                     )
                 sbatch = shard_batch(batch, self.mesh)
                 rng, step_rng = jax.random.split(rng)
+                if self.presample_step is not None:
+                    image, eps_table, traj = self.presample_step(
+                        self.state, self.frozen, sbatch, step_rng
+                    )
+                    img_local = np.clip(
+                        _local_rows(image).astype(np.float32), 0.0, 1.0
+                    )
+                    masks = self.seg_holder.host_masks(img_local)
+                    sbatch["seg_masks"] = shard_batch(
+                        {"m": masks.astype(np.uint8)}, self.mesh
+                    )["m"]
+                    # tables stay on device — no host round-trip
+                    sbatch["eps_table"] = eps_table
+                    sbatch["latents_traj"] = traj
                 self.state, self.d_state, m = self.train_step(
                     self.state, self.frozen, self.blip_params, sbatch,
                     step_rng, self.d_state, self.d_frozen,

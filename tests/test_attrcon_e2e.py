@@ -1,6 +1,10 @@
 """End-to-end attribute-concentration train step on tiny models:
 capture -> host segmenter callback -> grounding losses -> grads."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # expensive e2e jit compiles
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +40,9 @@ def test_attrcon_train_step():
     tok = HashTokenizer(1000)
     prompts = ["a red car and a blue bird", "two cats on a mat"]
     batch = dict(batch)
-    batch.update(attrcon_batch_fields(prompts, tok, holder, 77))
+    batch.update(attrcon_batch_fields(
+        prompts, tok, holder, 77, resolution=tcfg.resolution
+    ))
 
     extra = make_attrcon_extra_losses(pipe, holder, tcfg)
     opt = make_optimizer(tcfg)
@@ -51,3 +57,48 @@ def test_attrcon_train_step():
     assert np.isfinite(float(metrics["step_loss"]))
     assert float(metrics["token_loss"]) > 0
     assert float(metrics["pixel_loss"]) > 0
+
+
+def test_presample_split_matches_single_program():
+    """The Grounded-SAM split flow (presample program -> host masks ->
+    grad program consuming eps_table/latents_traj) must reproduce the
+    single-program step exactly: same rng => bitwise-same trajectory,
+    so all losses match."""
+    import dataclasses
+
+    from comat_tpu.training.train_step import make_presample
+
+    pipe, blip, params, blip_params, batch, tcfg = _build(2)
+    tcfg = type(tcfg)(**{**tcfg.__dict__, "attrcon": True,
+                         "attrcon_train_steps": 2})
+    pipe.cfg = dataclasses.replace(pipe.cfg, attrcon=True)
+
+    holder = SegmenterHolder(CenterPriorSegmenter(), max_words=4)
+    tok = HashTokenizer(1000)
+    prompts = ["a red car and a blue bird", "two cats on a mat"]
+    batch = dict(batch)
+    batch.update(attrcon_batch_fields(
+        prompts, tok, holder, 77, resolution=tcfg.resolution
+    ))
+
+    extra = make_attrcon_extra_losses(pipe, holder, tcfg)
+    opt = make_optimizer(tcfg)
+    state, frozen = init_train_state(params, tcfg, opt)
+    step = jax.jit(make_train_step(pipe, blip, tcfg, opt, extra_losses=extra))
+    rng = jax.random.PRNGKey(3)
+
+    _, _, m1 = step(state, frozen, blip_params, batch, rng)
+
+    presample = jax.jit(make_presample(pipe, tcfg))
+    image, eps_table, traj = presample(state, frozen, batch, rng)
+    assert np.isfinite(np.asarray(image)).all()
+    assert eps_table.shape[0] == tcfg.total_step
+    batch2 = dict(batch)
+    batch2["eps_table"] = eps_table
+    batch2["latents_traj"] = traj
+    _, _, m2 = step(state, frozen, blip_params, batch2, rng)
+
+    for key in ("step_loss", "reward_blip", "token_loss", "pixel_loss"):
+        np.testing.assert_allclose(
+            float(m1[key]), float(m2[key]), rtol=2e-5, err_msg=key
+        )

@@ -1,5 +1,9 @@
 """Fidelity-preservation GAN tests (reference: training_utils/gan_sdxl.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # expensive e2e jit compiles
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """GroundingDetector + composed Grounded-SAM segmenter (tiny, random
 weights: structural + protocol tests)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # expensive e2e jit compiles
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,6 +7,10 @@ hardcoded flags) — stop_gradient on the UNet output at non-trained
 steps, full gradients at trained steps, scheduler chain attached.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # expensive e2e jit compiles
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,6 +2,10 @@
 add_time_ids micro-conditioning, GAN with added conditioning
 (reference: TrainableSDPipeline.py:427-848, gan_sdxl.py:158-325)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # expensive e2e jit compiles
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,7 +145,9 @@ def test_sdxl_attrcon_train_step():
         batch["caption_mask"][:1], batch["caption_labels"][:1],
     )
     holder = SegmenterHolder(CenterPriorSegmenter(), max_words=4)
-    batch.update(attrcon_batch_fields(prompts, tok, holder, 77))
+    batch.update(attrcon_batch_fields(
+        prompts, tok, holder, 77, resolution=RES
+    ))
     tcfg = TrainConfig(total_step=10, K=3, resolution=RES, attrcon=True,
                        attrcon_train_steps=2)
     extra = make_attrcon_extra_losses(pipe, holder, tcfg)

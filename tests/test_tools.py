@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from comat_tpu.training.data import GanLatentStore
 
@@ -99,6 +100,7 @@ def test_crop_jitter_matches_slice():
     )
 
 
+@pytest.mark.slow
 def test_evaluate_cli_tiny(tmp_path):
     """Alignment eval harness end-to-end on tiny models: jsonl rows +
     summary line."""
@@ -121,6 +123,7 @@ def test_evaluate_cli_tiny(tmp_path):
     assert np.isfinite(lines[-1]["mean_blip_reward"])
 
 
+@pytest.mark.slow
 def test_parity_synthetic_tier():
     """The one-command parity harness's synthetic tier (no weights
     needed): torch-vs-ours CLIP/BLIP fp32 logit parity + UNet/VAE/CLIP

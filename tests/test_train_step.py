@@ -2,6 +2,10 @@
 BASELINE.json config 1 (SD1.5 concept-matching only), plus the 8-device
 data-parallel mesh run."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # expensive e2e jit compiles
+
 import jax
 import jax.numpy as jnp
 import numpy as np

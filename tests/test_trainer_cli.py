@@ -70,6 +70,7 @@ def test_allow_smoke_downgrades_to_warning(tmp_path):
         Trainer._smoke_gate(stub, "testing")
 
 
+@pytest.mark.slow
 def test_resume_fast_forward_and_pretrain_eval(tmp_path, monkeypatch):
     """Fresh run: an eval/checkpoint fires BEFORE step 1 (checkpoint-0
     exists). Resume: the data stream continues at the recorded step —

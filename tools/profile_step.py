@@ -60,7 +60,7 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     pipe, blip, step, state, frozen, blip_params, batch_d, tcfg = (
-        bench.build(batch)
+        bench.build(batch)[:8]
     )
     from comat_tpu.losses.caption_reward import blip_caption_reward
     from comat_tpu.training.train_step import merge_params
