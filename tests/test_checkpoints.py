@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from comat_tpu.training import checkpoints as ck
 from comat_tpu.training.data import PromptDataset
@@ -14,6 +15,7 @@ from comat_tpu.training.train_step import (
 from tests.test_train_step import _build
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     pipe, blip, params, blip_params, batch, tcfg = _build(2)
     opt = make_optimizer(tcfg)

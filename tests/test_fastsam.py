@@ -5,6 +5,7 @@ checkpoints)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from comat_tpu.segmentation.fastsam import (
     YoloSegConfig,
@@ -15,6 +16,7 @@ from comat_tpu.segmentation.fastsam import (
 )
 
 
+@pytest.mark.slow
 def test_yolov8seg_shapes():
     cfg = YoloSegConfig.tiny()
     model = YoloV8Seg(cfg)

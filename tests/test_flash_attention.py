@@ -31,6 +31,7 @@ def test_forward_matches_xla(shape):
 
 
 @pytest.mark.parametrize("shape", SHAPES[:2])
+@pytest.mark.slow
 def test_vjp_matches_xla(shape):
     B, H, Sq, Skv, d = shape
     q, k, v = [

@@ -70,6 +70,7 @@ def _check_mapping(tree, mapper, allow_missing=()):
     return names
 
 
+@pytest.mark.slow
 def test_unet_mapping_complete():
     model = UNet2DCondition(UNetConfig.tiny(), lora_rank=2)
     params = model.init(

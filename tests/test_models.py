@@ -44,6 +44,7 @@ def test_unet_shapes_and_capture(unet_setup):
     np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_unet_grad_flows_to_lora(unet_setup):
     model, params, x, ctx, t = unet_setup
 
@@ -112,6 +113,7 @@ def test_clip_projection():
     assert pooled.shape == (2, 16)
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_shapes():
     cfg = VAEConfig.tiny()
     model = AutoencoderKL(cfg)
@@ -128,6 +130,7 @@ def test_vae_roundtrip_shapes():
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_blip_caption_loss_golden():
     """Check label-smoothing CE against a hand-rolled numpy golden
     (torch CrossEntropyLoss(label_smoothing=eps, ignore_index=-100)

@@ -11,6 +11,7 @@ import pytest
 from comat_tpu.training.data import GanLatentStore
 
 
+@pytest.mark.slow
 def test_gan_gt_generate_end_to_end(tmp_path):
     from comat_tpu.tools.gan_gt_generate import main
 
