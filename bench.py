@@ -150,13 +150,26 @@ def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
             init_disc_state, make_d_optimizer,
         )
 
-        # sd15.sh: --gan_model_arch gansd_1_5 (same family as G, not
-        # cross-arch), no --gan_unet_lastlayer_cls / --condition_discriminator
-        disc = Discriminator(pcfg.unet, GanConfig(lora_rank=128))
+        # Both published recipes run --gan_model_arch gansd_1_5: for
+        # SD1.5 that is the generator's own family; for SDXL it is a
+        # cross-arch SD1.5-architecture D conditioned on the CLIP-L
+        # tower's 768-dim states (scripts/sdxl.sh; trainer.py wires the
+        # same way). No --gan_unet_lastlayer_cls / --condition_discriminator.
+        if pcfg.is_sdxl:
+            from comat_tpu.config import UNetConfig
+
+            d_unet_cfg = UNetConfig.sd15()
+            d_ctx_dim = pcfg.text.hidden_size
+            gcfg = GanConfig(lora_rank=128, cross_arch=True)
+        else:
+            d_unet_cfg = pcfg.unet
+            d_ctx_dim = pcfg.unet.cross_attention_dim
+            gcfg = GanConfig(lora_rank=128)
+        disc = Discriminator(d_unet_cfg, gcfg)
         d_params = random_params_bf16(
             lambda k: disc.init_params(
                 k, latent_size=pcfg.latent_size,
-                context_dim=pcfg.unet.cross_attention_dim,
+                context_dim=d_ctx_dim,
                 context_len=pcfg.text.max_length,
             ),
             jax.random.fold_in(k, 7),
@@ -187,8 +200,12 @@ def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
 
 
 def reference_flops_per_image(pipe, blip, params, blip_params, batch,
-                              tcfg, disc=None, d_params=None) -> float:
-    """Analytic reference FLOPs/image from un-scanned component costs."""
+                              tcfg, disc=None, d_params=None):
+    """Analytic reference FLOPs/image from un-scanned component costs.
+
+    Returns (flops_per_image, comp) where comp holds the raw component
+    FLOP counts {unet_cfg_fwd, vae_decode, blip_reward, d_fwd} for
+    per-phase achieved-TF/s reporting."""
     B = batch["input_ids"].shape[0]
 
     added = None
@@ -238,6 +255,8 @@ def reference_flops_per_image(pipe, blip, params, blip_params, batch,
         + 3.0 * f_vae         # decode fwd + bwd
         + 3.0 * f_blip        # reward fwd + bwd
     )
+    comp = {"unet_cfg_fwd": f_unet, "vae_decode": f_vae,
+            "blip_reward": f_blip}
     if disc is not None and d_params is not None:
         # the reference's G-then-D GAN sequence (gan_sdxl.py:50-117):
         # G side: D fwd on gen latents + bwd to the latents (3x fwd);
@@ -247,17 +266,18 @@ def reference_flops_per_image(pipe, blip, params, blip_params, batch,
             jnp.bfloat16,
         )
         ctx_b = jnp.zeros(
-            (B, 77, pipe.cfg.unet.cross_attention_dim), jnp.bfloat16
+            (B, 77, disc.unet.cfg.cross_attention_dim), jnp.bfloat16
         )
         t_b = jnp.zeros((B,), jnp.int32)
         c_d = jax.jit(
             lambda p, l, t, c: disc.logits(p, l, t, c)
         ).lower(d_params, lat_b, t_b, ctx_b).compile().cost_analysis()
         total += 9.0 * float(c_d["flops"])
+        comp["d_fwd"] = float(c_d["flops"])
         # attrcon grounding losses are tiny matmuls over captured maps;
         # the reference additionally runs GSAM per step — neither side
         # is charged here (conservative for us).
-    return total / B
+    return total / B, comp
 
 
 def _sync(m):
@@ -300,6 +320,88 @@ def measure(built, n_iters: int = 3):
     return (time.perf_counter() - t0) / n_iters, state, d_state
 
 
+def _timeit(fn, args, iters=8) -> float:
+    """Steady-state seconds of jit(fn)(*args) with a relay-safe sync
+    (device_get of one scalar — see _sync)."""
+    c = jax.jit(fn).lower(*args).compile()
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf)
+
+    sync(c(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = c(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def phase_seconds_breakdown(pipe, blip, state, frozen, blip_params,
+                            batch, disc=None, d_state=None, d_frozen=None):
+    """Measured seconds for each isolated step phase (each its own small
+    jit): VAE decode fwd / fwd+bwd, BLIP reward fwd / fwd+bwd, GAN
+    G-side (D fwd + bwd-to-latents) and D-update (2B fwd + bwd-to-LoRA).
+    Matches the workload shapes of the real step; used to prove each
+    phase's share of the step against its roofline (VERDICT r1 #4)."""
+    from comat_tpu.losses.caption_reward import blip_caption_reward
+    from comat_tpu.training.train_step import merge_params
+
+    params = merge_params(state.trainable, frozen)
+    B = batch["input_ids"].shape[0]
+    s = pipe.cfg.latent_size
+    out = {}
+
+    z = jnp.zeros((B, s, s, 4), jnp.float32)
+    f_vae = lambda zz: pipe.decode_image(params, zz)
+    out["vae_decode_fwd"] = _timeit(f_vae, (z,))
+    ct_img = jnp.ones((B, pipe.cfg.resolution, pipe.cfg.resolution, 3),
+                      jnp.float32)
+    out["vae_decode_fwd_plus_bwd"] = _timeit(
+        lambda zz, ct: jax.vjp(f_vae, zz)[1](ct)[0], (z, ct_img)
+    )
+
+    img = jnp.zeros((B, pipe.cfg.resolution, pipe.cfg.resolution, 3),
+                    jnp.float32)
+    f_blip = lambda im: blip_caption_reward(
+        blip, blip_params, im, batch["caption_ids"],
+        batch["caption_mask"], batch["caption_labels"],
+    )
+    def scalar_blip(im):
+        r = f_blip(im)
+        return jax.tree_util.tree_leaves(r)[0].sum()
+    out["blip_reward_fwd"] = _timeit(scalar_blip, (img,))
+    out["blip_reward_fwd_plus_bwd"] = _timeit(
+        jax.grad(scalar_blip), (img,)
+    )
+
+    if disc is not None and d_state is not None:
+        from comat_tpu.losses.gan import gan_d_loss, gan_g_loss
+
+        d_params = merge_params(d_state.trainable, d_frozen)
+        lat = jnp.zeros((B, s, s, 4), jnp.float32)
+        ctx = jnp.zeros(
+            (B, 77, disc.unet.cfg.cross_attention_dim), jnp.bfloat16
+        )
+        t_last = jnp.int32(979)
+
+        out["gan_G_side_fwd_plus_bwd"] = _timeit(
+            jax.grad(lambda l: gan_g_loss(disc, d_params, l, t_last, ctx)),
+            (lat,),
+        )
+        gt = jnp.zeros((B, s, s, 4), jnp.float32)
+        out["gan_D_update_fwd_plus_bwd"] = _timeit(
+            jax.grad(
+                lambda d_tr: gan_d_loss(
+                    disc, merge_params(d_tr, d_frozen), lat, gt,
+                    t_last, ctx,
+                )
+            ),
+            (d_state.trainable,),
+        )
+    return out
+
+
 def pass1_seconds(pipe, state, frozen, batch) -> float:
     """Measured seconds for the 50 pass-1 (LoRA-fused, no-grad) CFG UNet
     forwards: 50 x one chained fused forward. One small compile."""
@@ -340,11 +442,11 @@ def _run_full(batch_size, model):
     (pipe, blip, _, _, frozen, blip_params, batch, tcfg,
      disc, _, d_frozen) = full
 
-    f_img = None
+    f_img, comp = None, {}
     try:
         merged = merge_params(state.trainable, frozen)
         d_merged = merge_params(d_state.trainable, d_frozen)
-        f_img = reference_flops_per_image(
+        f_img, comp = reference_flops_per_image(
             pipe, blip, merged, blip_params, batch, tcfg,
             disc=disc, d_params=d_merged,
         )
@@ -361,7 +463,18 @@ def _run_full(batch_size, model):
         import traceback
 
         traceback.print_exc()
-    return dt_full, f_img, t_pass1
+
+    phases = {}
+    try:
+        phases = phase_seconds_breakdown(
+            pipe, blip, state, frozen, blip_params, batch,
+            disc=disc, d_state=d_state, d_frozen=d_frozen,
+        )
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+    return dt_full, f_img, comp, t_pass1, phases
 
 
 def main():
@@ -379,7 +492,7 @@ def main():
         pass
 
     # Full recipe (scripts/sd15.sh: --gan_loss + attrcon) — the headline
-    dt_full, f_img, t_pass1 = _run_full(batch_size, model)
+    dt_full, f_img, comp, t_pass1, phases = _run_full(batch_size, model)
 
     # Reduced step (no GAN, no attrcon) for the delta breakdown
     dt_reduced = None
@@ -399,15 +512,49 @@ def main():
     else:
         a100_est, vs_baseline = float("nan"), float("nan")
 
+    # --- per-phase breakdown (seconds + achieved TF/s vs the phase's
+    # own analytic FLOPs; VERDICT r1 #4 "prove the floor") ---
     phase = {}
-    if t_pass1 is not None:
-        phase["pass1_50_fused_fwd"] = round(t_pass1, 3)
+
+    def put(name, secs, flops=None):
+        if secs is None:
+            return
+        phase[name] = {"s": round(secs, 3)}
+        if flops:
+            phase[name]["tf_per_s"] = round(flops / secs / 1e12, 1)
+
+    f_unet = comp.get("unet_cfg_fwd")
+    put("pass1_50_fused_fwd", t_pass1, 50 * f_unet if f_unet else None)
+    t_vae_f = phases.get("vae_decode_fwd")
+    t_vae_fb = phases.get("vae_decode_fwd_plus_bwd")
+    put("vae_decode_fwd", t_vae_f, comp.get("vae_decode"))
+    put("vae_decode_fwd_plus_bwd", t_vae_fb,
+        3 * comp["vae_decode"] if "vae_decode" in comp else None)
+    t_blip_f = phases.get("blip_reward_fwd")
+    t_blip_fb = phases.get("blip_reward_fwd_plus_bwd")
+    put("blip_reward_fwd", t_blip_f, comp.get("blip_reward"))
+    put("blip_reward_fwd_plus_bwd", t_blip_fb,
+        3 * comp["blip_reward"] if "blip_reward" in comp else None)
+    t_gan_g = phases.get("gan_G_side_fwd_plus_bwd")
+    t_gan_d = phases.get("gan_D_update_fwd_plus_bwd")
+    f_d = comp.get("d_fwd")
+    put("gan_G_side_fwd_plus_bwd", t_gan_g, 3 * f_d if f_d else None)
+    put("gan_D_update_fwd_plus_bwd", t_gan_d, 6 * f_d if f_d else None)
     if dt_reduced is not None:
-        phase["gan_plus_attrcon"] = round(dt_full - dt_reduced, 3)
-        if t_pass1 is not None:
-            phase["replay_vjp_vae_blip_opt"] = round(
-                dt_reduced - t_pass1, 3
-            )
+        if None not in (t_pass1, t_vae_fb, t_blip_fb):
+            # what's left of the reduced step: the K cached-primal
+            # segment VJPs + optimizer + host overhead. Its analytic
+            # FLOPs are the K bwd passes (primal cached): K * 2 * fwd.
+            resid = dt_reduced - t_pass1 - t_vae_fb - t_blip_fb
+            put("replay_K_vjp_plus_opt", resid,
+                5 * 2 * f_unet if f_unet else None)
+        if None not in (t_gan_g, t_gan_d):
+            # full - reduced - GAN = the attrcon tax (split cond/uncond
+            # capture forwards + grounding losses + mask host bridge)
+            put("attrcon_capture_plus_grounding",
+                dt_full - dt_reduced - t_gan_g - t_gan_d)
+        else:
+            put("gan_plus_attrcon", dt_full - dt_reduced)
 
     print(
         json.dumps(
@@ -427,7 +574,7 @@ def main():
                         round(batch_size / dt_reduced, 4)
                         if dt_reduced else None
                     ),
-                    "phase_seconds": phase,
+                    "phase_breakdown": phase,
                     "workload": "sd15.sh: gan_loss + attrcon(2) + "
                                 "BLIP reward, 50 DDPM CFG steps, K=5, "
                                 "LoRA r128",
