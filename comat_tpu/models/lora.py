@@ -43,7 +43,12 @@ class LoRADense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Dense(
+        from comat_tpu.models.quant import QDense
+
+        # QDense == nn.Dense for float kernels; the int8 branch only
+        # activates on a quantize_unet_tree'd pass-1 tree (lora_rank=0
+        # inference twin — LoRA is already folded there).
+        y = QDense(
             self.features,
             use_bias=self.use_bias,
             dtype=self.dtype,

@@ -304,15 +304,23 @@ class DiffusionPipeline:
             )
         return img / 2.0 + 0.5
 
-    def fused_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
+    def fused_params(
+        self, params: Dict[str, Any], int8: bool = False
+    ) -> Dict[str, Any]:
         """Copy of `params` with the UNet's LoRA folded into base
-        kernels (for unet_apply(..., fused=True))."""
-        if self.cfg.lora_rank == 0:
-            return params
-        from comat_tpu.models.lora import fuse_lora_tree
-
+        kernels (for unet_apply(..., fused=True)). `int8=True`
+        additionally rewrites the folded UNet kernels to W8A8 form
+        (models/quant.py) — pass-1-only opt-in numerics
+        (--pass1_int8)."""
         out = dict(params)
-        out["unet"] = fuse_lora_tree(params["unet"])
+        if self.cfg.lora_rank > 0:
+            from comat_tpu.models.lora import fuse_lora_tree
+
+            out["unet"] = fuse_lora_tree(params["unet"])
+        if int8:
+            from comat_tpu.models.quant import quantize_unet_tree
+
+            out["unet"] = quantize_unet_tree(out["unet"])
         return out
 
     # ---- the CoMat forward (reference forward(): the hot path) ----
@@ -338,6 +346,7 @@ class DiffusionPipeline:
         frozen: Any = None,
         remat: bool = False,
         fuse_pass1: bool = True,
+        pass1_int8: bool = False,
         decode_chunk: Optional[int] = None,
         presampled: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, SampleResult]:
@@ -394,7 +403,14 @@ class DiffusionPipeline:
                 # the life of the step (~1.8GB for SDXL) — callers in
                 # memory-tight configs pass fuse_pass1=False and pay
                 # the per-token LoRA matmuls instead
-                params_ng = self.fused_params(params_ng)
+                params_ng = self.fused_params(params_ng, int8=pass1_int8)
+            elif pass1_int8:
+                # unfused int8: base kernels quantize, the fp32 LoRA
+                # branch rides alongside (QDense dispatches per-kernel)
+                from comat_tpu.models.quant import quantize_unet_tree
+
+                params_ng = dict(params_ng)
+                params_ng["unet"] = quantize_unet_tree(params_ng["unet"])
             eps_model_inf = make_cfg_eps_model(
                 lambda lat, t, ctx, ac, cap: self.unet_apply(
                     params_ng, lat, t, ctx, ac, cap, fast=True,
@@ -484,6 +500,7 @@ class DiffusionPipeline:
         null_eos_positions: Optional[jnp.ndarray] = None,
         input_ids2: Optional[jnp.ndarray] = None,
         fuse_pass1: bool = True,
+        pass1_int8: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Pass 1 alone, entirely no-grad: fused LoRA, flash attention,
         VAE decode. Returns (image01, eps_table, latents_traj).
@@ -508,7 +525,15 @@ class DiffusionPipeline:
         if cfg.is_sdxl:
             added = self.sdxl_added_cond(enc.pooled, B)
             null_added = self.sdxl_added_cond(nenc.pooled, B)
-        params_f = self.fused_params(params) if fuse_pass1 else params
+        if fuse_pass1:
+            params_f = self.fused_params(params, int8=pass1_int8)
+        elif pass1_int8:
+            from comat_tpu.models.quant import quantize_unet_tree
+
+            params_f = dict(params)
+            params_f["unet"] = quantize_unet_tree(params["unet"])
+        else:
+            params_f = params
         eps_model_inf = make_cfg_eps_model(
             lambda lat, t, ctx, ac, cap: self.unet_apply(
                 params_f, lat, t, ctx, ac, cap, fast=True, fused=fuse_pass1
@@ -547,6 +572,7 @@ class DiffusionPipeline:
         kind: str = "ddpm",
         output_type: str = "image",
         latents0: Optional[jnp.ndarray] = None,
+        int8: bool = False,
     ):
         """No-grad sampling (reference __call__ path /
         tools/gan_gt_generate.py)."""
@@ -558,7 +584,7 @@ class DiffusionPipeline:
         if cfg.is_sdxl:
             added = self.sdxl_added_cond(enc.pooled, B)
             null_added = self.sdxl_added_cond(nenc.pooled, B)
-        params_f = self.fused_params(params)
+        params_f = self.fused_params(params, int8=int8)
         eps_model = make_cfg_eps_model(
             lambda lat, t, ctx, ac, cap: self.unet_apply(
                 params_f, lat, t, ctx, ac, cap, fast=True, fused=True

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from comat_tpu.config import UNetConfig
 from comat_tpu.models.lora import LoRADense
+from comat_tpu.models.quant import QConv, QDense, QDenseGeneral
 from comat_tpu.ops.attention import multi_head_attention
 
 
@@ -84,7 +85,7 @@ class ResnetBlock(nn.Module):
             name="norm1",
         )(x)
         h = nn.silu(h)
-        h = nn.Conv(
+        h = QConv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
             name="conv1",
         )(h)
@@ -97,12 +98,12 @@ class ResnetBlock(nn.Module):
             name="norm2",
         )(h)
         h = nn.silu(h)
-        h = nn.Conv(
+        h = QConv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
             name="conv2",
         )(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(
+            x = QConv(
                 self.out_channels, (1, 1), dtype=self.dtype,
                 name="conv_shortcut",
             )(x)
@@ -170,13 +171,13 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
-        h = nn.DenseGeneral(
+        h = QDenseGeneral(
             (2, dim * 4), dtype=self.dtype, name="proj_in"
         )(x)
         h, gate = h[..., 0, :], h[..., 1, :]
         # exact (erf) GELU to match torch F.gelu
         h = h * nn.gelu(gate, approximate=False)
-        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
+        return QDense(dim, dtype=self.dtype, name="proj_out")(h)
 
 
 class TransformerBlock(nn.Module):
@@ -232,7 +233,7 @@ class Transformer2D(nn.Module):
             num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype,
             name="norm",
         )(x)
-        h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+        h = QDense(C, dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, C)
         captured = []
         for i in range(self.num_layers):
@@ -242,7 +243,7 @@ class Transformer2D(nn.Module):
             )(h, context, capture=capture, fast=fast)
             if capture and probs is not None:
                 captured.append(probs)
-        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        h = QDense(C, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(B, H, W, C) + residual, captured
 
 
@@ -252,7 +253,7 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(
+        return QConv(
             self.out_channels, (3, 3), strides=(2, 2), padding=1,
             dtype=self.dtype, name="conv",
         )(x)
@@ -266,7 +267,7 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
-        return nn.Conv(
+        return QConv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
             name="conv",
         )(x)

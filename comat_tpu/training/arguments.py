@@ -95,6 +95,12 @@ def parse_args(argv=None):
                    choices=[None, "no", "fp16", "bf16"],
                    help="TPU build always computes bf16 w/ fp32 LoRA")
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--pass1_int8", action="store_true",
+                   help="W8A8 int8 numerics for the no-grad pass-1 "
+                        "sampling forwards (models/quant.py); the "
+                        "differentiable replay stays bf16/fp32. "
+                        "TPU-only extension beyond the reference's "
+                        "fp16 no-grad pass")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     # the reference's only branch is AdamW (training_script.py:
     # 224-225); 8-bit selection goes through --use_8bit_adam

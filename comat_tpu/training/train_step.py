@@ -65,6 +65,11 @@ class TrainConfig:
     # to fit the SDXL recipe on 16GB chips; pure overhead for SD1.5
     # on v5e (its un-remat'd residuals fit), so it stays opt-in.
     gradient_checkpointing: bool = False
+    # --pass1_int8: W8A8 dynamic quantization for the 50 no-grad pass-1
+    # UNet forwards (models/quant.py) — opt-in numerics relaxation
+    # beyond the reference's fp16 no-grad sampling; the differentiable
+    # replay stays bf16/fp32
+    pass1_int8: bool = False
     # --textenc_lora_lr: separate LR for text-encoder params (the
     # reference builds a second param group — training_script.py:
     # 239-252); None = one LR for everything
@@ -351,6 +356,7 @@ def make_train_step(
             # the VAE in bs-2 chunks (its 512-res activations are the
             # step's HBM peak)
             fuse_pass1=not cfg.gradient_checkpointing,
+            pass1_int8=cfg.pass1_int8,
             presampled=presampled,
         )
 
@@ -509,6 +515,7 @@ def make_presample(pipeline, cfg: TrainConfig):
             eos_positions=batch.get("eos_positions"),
             input_ids2=batch.get("input_ids2"),
             fuse_pass1=not cfg.gradient_checkpointing,
+            pass1_int8=cfg.pass1_int8,
         )
 
     return presample

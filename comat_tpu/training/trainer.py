@@ -211,6 +211,7 @@ class Trainer:
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             use_8bit_adam=args.use_8bit_adam,
             gradient_checkpointing=args.gradient_checkpointing,
+            pass1_int8=args.pass1_int8,
             textenc_lr=(
                 args.textenc_lora_lr
                 if (args.tune_text_encoder or args.train_text_encoder_lora)
