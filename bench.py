@@ -402,13 +402,14 @@ def phase_seconds_breakdown(pipe, blip, state, frozen, blip_params,
     return out
 
 
-def pass1_seconds(pipe, state, frozen, batch) -> float:
+def pass1_seconds(pipe, state, frozen, batch, int8: bool = False) -> float:
     """Measured seconds for the 50 pass-1 (LoRA-fused, no-grad) CFG UNet
-    forwards: 50 x one chained fused forward. One small compile."""
+    forwards: 50 x one chained fused forward. One small compile.
+    `int8=True` measures the --pass1_int8 W8A8 variant."""
     from comat_tpu.training.train_step import merge_params
 
     params = merge_params(state.trainable, frozen)
-    params_fused = pipe.fused_params(params)
+    params_fused = pipe.fused_params(params, int8=int8)
     B = batch["input_ids"].shape[0]
     s = pipe.cfg.latent_size
     lat = jnp.zeros((2 * B, s, s, 4), jnp.bfloat16)
@@ -456,9 +457,10 @@ def _run_full(batch_size, model):
 
         traceback.print_exc()
 
-    t_pass1 = None
+    t_pass1 = t_pass1_int8 = None
     try:
         t_pass1 = pass1_seconds(pipe, state, frozen, batch)
+        t_pass1_int8 = pass1_seconds(pipe, state, frozen, batch, int8=True)
     except Exception:
         import traceback
 
@@ -474,7 +476,7 @@ def _run_full(batch_size, model):
         import traceback
 
         traceback.print_exc()
-    return dt_full, f_img, comp, t_pass1, phases
+    return dt_full, f_img, comp, t_pass1, t_pass1_int8, phases
 
 
 def main():
@@ -492,7 +494,9 @@ def main():
         pass
 
     # Full recipe (scripts/sd15.sh: --gan_loss + attrcon) — the headline
-    dt_full, f_img, comp, t_pass1, phases = _run_full(batch_size, model)
+    dt_full, f_img, comp, t_pass1, t_pass1_int8, phases = _run_full(
+        batch_size, model
+    )
 
     # Reduced step (no GAN, no attrcon) for the delta breakdown
     dt_reduced = None
@@ -525,6 +529,10 @@ def main():
 
     f_unet = comp.get("unet_cfg_fwd")
     put("pass1_50_fused_fwd", t_pass1, 50 * f_unet if f_unet else None)
+    # --pass1_int8 opt-in variant (same analytic FLOPs: reports the
+    # effective TF/s the int8 path achieves on the bf16-equivalent work)
+    put("pass1_50_fused_fwd_int8", t_pass1_int8,
+        50 * f_unet if f_unet else None)
     t_vae_f = phases.get("vae_decode_fwd")
     t_vae_fb = phases.get("vae_decode_fwd_plus_bwd")
     put("vae_decode_fwd", t_vae_f, comp.get("vae_decode"))
@@ -567,6 +575,20 @@ def main():
                 "detail": {
                     "batch_size": batch_size,
                     "step_seconds_full_recipe": round(dt_full, 3),
+                    # --pass1_int8 projection: pass 1 is the only phase
+                    # the flag changes, so full-step-int8 = full -
+                    # pass1_bf16 + pass1_int8 (both measured above)
+                    "step_seconds_full_recipe_int8_est": (
+                        round(dt_full - t_pass1 + t_pass1_int8, 3)
+                        if None not in (t_pass1, t_pass1_int8) else None
+                    ),
+                    "imgs_per_sec_int8_est": (
+                        round(
+                            batch_size / (dt_full - t_pass1 + t_pass1_int8),
+                            4,
+                        )
+                        if None not in (t_pass1, t_pass1_int8) else None
+                    ),
                     "step_seconds_reduced": (
                         round(dt_reduced, 3) if dt_reduced else None
                     ),
