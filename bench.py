@@ -9,10 +9,11 @@ LoRA rank 128, BLIP-large reward, --gan_loss with the G-then-D update,
 attrcon grounding losses with attrcon_train_steps=2) on real geometry
 with random weights (arithmetic identical to trained weights). Frozen
 towers run bf16 (reference runs fp16 — training_utils/pipeline.py:60-70);
-LoRA and optimizer state stay fp32. Segmentation masks come through the
-host pure_callback bridge (CenterPrior stand-in — the reference's GSAM
-compute is NOT charged to the A100 baseline either, keeping the
-comparison conservative). The reduced step (no GAN, no attrcon) is also
+LoRA and optimizer state stay fp32. Segmentation masks arrive as
+explicit batch constants (CenterPrior stand-in, computed host-side
+before the step — the axon TPU relay has no in-graph host callbacks;
+the reference's GSAM compute is NOT charged to the A100 baseline
+either, keeping the comparison conservative). The reduced step (no GAN, no attrcon) is also
 measured and reported in detail.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the

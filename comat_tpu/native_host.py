@@ -134,6 +134,21 @@ class NativeCLIPTokenizer:
         self.h = lib.ch_bpe_load(vocab_path.encode(), merges_path.encode())
         if not self.h:
             raise FileNotFoundError(vocab_path)
+        self._vocab_path = vocab_path
+        self._merges_path = merges_path
+        self._py = None  # lazy python twin for token-string queries
+
+    def encode_to_tokens(self, text: str):
+        """Wordpiece strings incl. BOS/EOS (linguistics.get_indices
+        consumes these for attrcon token alignment). The C++ encoder
+        only exposes ids, so this delegates to a lazily-built python
+        CLIPBPETokenizer over the same vocab/merges — it runs on a few
+        prompts per batch on the host, off the hot path."""
+        if self._py is None:
+            from comat_tpu.text.tokenizer import CLIPBPETokenizer
+
+            self._py = CLIPBPETokenizer(self._vocab_path, self._merges_path)
+        return self._py.encode_to_tokens(text)
 
     def __call__(
         self, texts: Sequence[str], max_length: int = 77

@@ -386,6 +386,28 @@ def check_step_loss(snapshot: str, fixture: str, record: bool):
     if blip_dir and os.path.isdir(blip_dir):
         blip_params = load_blip_params(blip_dir, blip_params)
     tok = load_clip_tokenizer(os.path.join(snapshot, "tokenizer"))
+    # caption side needs BLIP's BERT WordPiece vocabulary (~30k), NOT
+    # the CLIP BPE: ids from the wrong vocab would silently index out
+    # of the text-embedding table. Prefer the BLIP snapshot's
+    # vocab.txt; a HashTokenizer over the same vocab size is only
+    # acceptable for recording a synthetic (random-BLIP) fixture.
+    vocab_txt = os.path.join(blip_dir or "", "vocab.txt")
+    if blip_dir and os.path.isfile(vocab_txt):
+        from comat_tpu.text.tokenizer import BertWordPieceTokenizer
+
+        blip_tok = BertWordPieceTokenizer(vocab_txt)
+    elif record or fx.get("expected_loss") is None:
+        from comat_tpu.text.tokenizer import HashTokenizer
+
+        blip_tok = HashTokenizer(30524)
+    else:
+        _report(
+            "step_loss_fixture", "SKIP",
+            "fixture has expected_loss but no blip_snapshot/vocab.txt — "
+            "cannot reproduce the caption tokenization it was recorded "
+            "with",
+        )
+        return
     tcfg = TrainConfig(
         total_step=fx.get("total_step", 50), K=fx.get("K", 5),
         guidance_scale=fx.get("cfg_scale", 7.5),
@@ -395,7 +417,7 @@ def check_step_loss(snapshot: str, fixture: str, record: bool):
     opt = make_optimizer(tcfg)
     state, frozen = init_train_state(params, tcfg, opt)
     batch = assemble_batch(
-        fx["prompts"], tok, tok, max_length=pcfg.text.max_length
+        fx["prompts"], tok, blip_tok, max_length=pcfg.text.max_length
     )
     step = jax.jit(make_train_step(pipe, blip, tcfg, opt))
     _, _, metrics = step(

@@ -68,27 +68,22 @@ def attrcon_batch_fields(
     prompts: List[str], tokenizer, holder: SegmenterHolder,
     max_length: int = 77,
     resolution: Optional[int] = None,
-    image01: Optional[np.ndarray] = None,
 ):
     """Host-side: extract attribute groups, align to CLIP tokens, pad,
-    arm the segmenter holder with this batch's nouns, and — whenever the
-    masks are computable now — add `seg_masks` (uint8, (B, W, H, W)).
-
-    Masks are included when the segmenter is image-independent
-    (CenterPrior / precomputed stores ignore the pixels; `resolution`
-    sizes the zero placeholder image) or when `image01` (the decoded
-    presample image, (B, H, W, 3) in [0,1]) is given. The Grounded-SAM
-    path passes `image01` from the presample program's output."""
+    arm the segmenter holder with this batch's nouns, and — when the
+    segmenter is image-independent (CenterPrior / precomputed stores
+    ignore the pixels; `resolution` sizes the zero placeholder image) —
+    add `seg_masks` (uint8, (B, W, H, W)) now. Image-dependent
+    segmenters (Grounded-SAM) get their masks later, from the decoded
+    presample image, via `holder.host_masks` in the trainer — this
+    function runs BEFORE the presample program (its noun arming is what
+    the segmenter consumes), so it can never see the image itself."""
     groups = [
         extract_attribute_groups(p, tokenizer, max_length) for p in prompts
     ]
     padded = pad_groups(groups, max_words=holder.max_words)
     holder.set_batch(padded.pop("nouns"))
-    if image01 is not None:
-        padded["seg_masks"] = holder.host_masks(
-            np.asarray(image01, np.float32)
-        ).astype(np.uint8)
-    elif resolution is not None and not holder.image_dependent:
+    if resolution is not None and not holder.image_dependent:
         B = len(prompts)
         padded["seg_masks"] = holder.host_masks(
             np.zeros((B, resolution, resolution, 3), np.float32)

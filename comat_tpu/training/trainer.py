@@ -676,7 +676,10 @@ class Trainer:
             # evaluate before training (training_script.py:497-502)
             self.save_and_evaluate()
         elif resumed and self.global_step % 100 == 0:
-            # evaluate after resume, eval-only (training_script.py:504-509)
+            # evaluate after resume, eval-only — gated on a HARDCODED
+            # step%100, deliberately NOT --validation_steps: the
+            # reference hardcodes the same 100
+            # (training_script.py:504 `global_step%100 == 0`)
             self.save_and_evaluate(save=False)
         for epoch in range(first_epoch, num_epochs):
             if done:

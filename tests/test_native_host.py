@@ -126,3 +126,28 @@ def test_bert_wordpiece_tokenizer(tmp_path):
     # unknown word -> [UNK]
     out2 = tok(["zzz"])
     assert out2["input_ids"][0][1] == 1
+
+
+def test_native_tokenizer_encode_to_tokens(tmp_path, native_lib):
+    """The native wrapper must serve linguistics.get_indices'
+    token-string queries (attrcon alignment) like the python BPE."""
+    import json as _json
+
+    from comat_tpu.native_host import NativeCLIPTokenizer
+    from comat_tpu.text.tokenizer import CLIPBPETokenizer, bytes_to_unicode
+
+    be = bytes_to_unicode()
+    vocab = {}
+    for c in [be[ord(ch)] for ch in "acehlorst "]:
+        vocab[c] = len(vocab)
+        vocab[c + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    vpath, mpath = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    vpath.write_text(_json.dumps(vocab))
+    mpath.write_text("#version\n")
+
+    py = CLIPBPETokenizer(str(vpath), str(mpath))
+    cc = NativeCLIPTokenizer(str(vpath), str(mpath))
+    for t in ["a cat", "horse", ""]:
+        assert cc.encode_to_tokens(t) == py.encode_to_tokens(t)
