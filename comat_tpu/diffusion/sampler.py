@@ -141,6 +141,52 @@ def _make_cached_primal_eps(diff_eps_model: Callable):
     return op
 
 
+def _make_cached_capture_eps(diff_capture_vjp: Callable,
+                             diff_capture_primal: Callable):
+    """Cached-primal guided-eps op for CAPTURE segments (attrcon).
+
+    Captured attention probabilities are genuine primal outputs (the
+    grounding loss consumes and differentiates through them), so unlike
+    `_make_cached_primal_eps` the primal cannot be free — but it only
+    needs the cond-half capture forward (`diff_capture_primal`, batch B:
+    attention is per-sample, so the cond half of the CFG batch computes
+    identical maps at half the cost); the eps output still reuses
+    pass 1's cached value. The VJP differentiates the FULL guided
+    capture forward (`diff_capture_vjp` -> (eps, captured)) w.r.t.
+    (diff_tree, x) jointly, at the same point — grounding-loss
+    cotangents enter through the captured maps, downstream cotangents
+    through eps, and frozen towers (aux_tree) get symbolic zeros.
+
+    This keeps the attrcon recipe on the cached-primal replay: the old
+    fallback (a remat'd eps_model closing over the MERGED params inside
+    the segment scan) made XLA accumulate cotangents for every frozen
+    UNet weight across the K segments — measured at ~6.4s of the
+    full-recipe step on a v5e, vs ~0.9s for the cached replay.
+    """
+
+    @jax.custom_vjp
+    def op(diff_tree, aux_tree, x, t, cached_eps):
+        return cached_eps, diff_capture_primal(diff_tree, aux_tree, x, t)
+
+    def fwd(diff_tree, aux_tree, x, t, cached_eps):
+        out = (cached_eps, diff_capture_primal(diff_tree, aux_tree, x, t))
+        return out, (diff_tree, aux_tree, x, t)
+
+    def bwd(res, g):
+        diff_tree, aux_tree, x, t = res
+        g_eps, g_cap = g
+        _, vjp = jax.vjp(
+            lambda d, xx: diff_capture_vjp(d, aux_tree, xx, t),
+            diff_tree, x,
+        )
+        d_diff, d_x = vjp((g_eps, g_cap))
+        d_aux = jax.tree_util.tree_map(_zero_cotangent, aux_tree)
+        return d_diff, d_aux, d_x, _zero_cotangent(t), jnp.zeros_like(g_eps)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def sample_comat(
     eps_model: Callable,
     coeffs: SamplerCoeffs,
@@ -155,16 +201,20 @@ def sample_comat(
     diff_eps_model: Optional[Callable] = None,
     diff_tree: Any = None,
     aux_tree: Any = None,
+    diff_capture_vjp: Optional[Callable] = None,
+    diff_capture_primal: Optional[Callable] = None,
     presampled: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> SampleResult:
     """Full two-pass CoMat sampling. Differentiable through the K
     trained steps only (see module docstring).
 
-    With `diff_eps_model(diff_tree, aux_tree, x, t) -> eps` given (and
-    capture=False — captured probabilities are primal outputs and force
-    a real forward), the replay uses cached-primal segments: pass 1's
-    eps is the primal and the segment forward costs nothing
-    (see _make_cached_primal_eps).
+    With `diff_eps_model(diff_tree, aux_tree, x, t) -> eps` given, the
+    replay uses cached-primal segments: pass 1's eps is the primal and
+    the segment forward costs nothing (see _make_cached_primal_eps).
+    With capture=True, also pass `diff_capture_vjp(d, aux, x, t) ->
+    (eps, captured)` and `diff_capture_primal(d, aux, x, t) -> captured`
+    to stay on the cached replay (see _make_cached_capture_eps);
+    otherwise capture falls back to remat'd full-forward segments.
 
     `presampled=(eps_table, latents_traj)`: pass 1 already ran in a
     separate no-grad program (the trainer's presample step, needed when
@@ -188,9 +238,15 @@ def sample_comat(
             coeffs, latents0, rng,
         )
 
-    use_cached_primal = diff_eps_model is not None and not capture
+    use_cached_primal = diff_eps_model is not None and (
+        not capture or diff_capture_primal is not None
+    )
     if use_cached_primal:
         cached_eps_op = _make_cached_primal_eps(diff_eps_model)
+        if capture:
+            cached_cap_op = _make_cached_capture_eps(
+                diff_capture_vjp, diff_capture_primal
+            )
 
     # ---- pass 2: differentiable replay ----
     # Cached-primal path: no remat needed — the custom VJP recomputes
@@ -205,7 +261,11 @@ def sample_comat(
 
     def segment(x, p):
         # differentiable UNet call at trained position p
-        if use_cached_primal:
+        if use_cached_primal and capture:
+            eps, captured = cached_cap_op(
+                diff_tree, aux_tree, x, coeffs.timesteps[p], eps_table[p]
+            )
+        elif use_cached_primal:
             eps = cached_eps_op(
                 diff_tree, aux_tree, x, coeffs.timesteps[p], eps_table[p]
             )

@@ -356,10 +356,13 @@ class DiffusionPipeline:
         the K trained steps + VAE decode.
 
         With a (trainable, frozen) partition of `params` supplied (see
-        training.train_step.partition_params) and capture=False, the
-        replay pass runs cached-primal segments — pass 1's eps is reused
-        as the primal and the segment VJP differentiates w.r.t. the
-        trainable subtree only (no cotangents for frozen towers).
+        training.train_step.partition_params), the replay pass runs
+        cached-primal segments — pass 1's eps is reused as the primal
+        and the segment VJP differentiates w.r.t. the trainable subtree
+        only (no cotangents for frozen towers). capture=True stays on
+        the cached replay: captured maps come from a cond-half primal
+        forward and the segment VJP covers (eps, captured) jointly
+        (sampler._make_cached_capture_eps).
         """
         cfg = self.cfg
         B = input_ids.shape[0]
@@ -430,7 +433,8 @@ class DiffusionPipeline:
         # with symbolic-zero cotangents: custom_vjp functions must not
         # close over traced values).
         diff_eps_model = diff_tree = aux_tree = None
-        if trainable is not None and not capture:
+        diff_capture_vjp = diff_capture_primal = None
+        if trainable is not None:
             from comat_tpu.models.lora import merge_params
 
             diff_tree = {
@@ -444,9 +448,9 @@ class DiffusionPipeline:
             }
             aux_tree = {"frozen": frozen}
 
-            def diff_eps_model(d, aux, lat, t):
+            def _diff_em(d, aux):
                 p = merge_params(d["trainable"], aux["frozen"])
-                em = make_cfg_eps_model(
+                return make_cfg_eps_model(
                     lambda l, tt, ctx, ac, cap: self.unet_apply(
                         p, l, tt, ctx, ac, cap, fast=True, remat=remat
                     ),
@@ -457,8 +461,29 @@ class DiffusionPipeline:
                     d["added"],
                     d["null_added"],
                 )
-                eps, _ = em(lat, t, False)
+
+            def diff_eps_model(d, aux, lat, t):
+                eps, _ = _diff_em(d, aux)(lat, t, False)
                 return eps
+
+            if capture:
+                def diff_capture_vjp(d, aux, lat, t):
+                    return _diff_em(d, aux)(lat, t, True)
+
+                def diff_capture_primal(d, aux, lat, t):
+                    # cond-half-only capture forward (batch B, vs the
+                    # 2B CFG batch): attention maps are per-sample, so
+                    # this computes the exact values the VJP's guided
+                    # forward captures, at half the cost; the eps output
+                    # is discarded (the cached pass-1 eps is the primal)
+                    p = merge_params(d["trainable"], aux["frozen"])
+                    _, cap = self.unet_apply(
+                        p, lat, t, d["context"], d["added"], True,
+                        fast=True,
+                    )
+                    return jax.tree_util.tree_map(
+                        lambda a: a.astype(jnp.bfloat16), cap
+                    )
 
         coeffs = make_sampler_coeffs(
             self.schedule, num_inference_steps, kind="ddpm"
@@ -476,7 +501,9 @@ class DiffusionPipeline:
             eps_model, coeffs, latents0, rng, trained_idx, interval,
             capture=capture, eps_model_inference=eps_model_inf,
             diff_eps_model=diff_eps_model, diff_tree=diff_tree,
-            aux_tree=aux_tree, presampled=presampled,
+            aux_tree=aux_tree, diff_capture_vjp=diff_capture_vjp,
+            diff_capture_primal=diff_capture_primal,
+            presampled=presampled,
         )
         # Decoder per-block remat follows the memory-tight flag: the
         # recompute costs ~53ms/step at SD1.5 bs4 and is only needed

@@ -173,6 +173,57 @@ def test_cached_primal_matches_plain_path(setup, start):
     assert float(jnp.abs(g1).sum()) > 0
 
 
+@pytest.mark.parametrize("start", [0, 2])
+def test_cached_capture_matches_plain_capture_path(setup, start):
+    """The cached-primal CAPTURE replay (diff_capture_vjp/_primal) must
+    match the remat fallback in values AND gradients, with cotangents
+    entering through BOTH the captured maps (grounding-loss path) and
+    the final latents (reward/GAN path)."""
+    coeffs, w, x0, rng = setup
+    trained = jnp.arange(start, start + K * INTERVAL, INTERVAL)
+
+    def diff_capture_vjp(d, aux, x, t):
+        eps, cap = _make_eps_model(d["w"])(x, t, True)
+        return eps + 0.0 * aux["c"], cap
+
+    def diff_capture_primal(d, aux, x, t):
+        _, cap = _make_eps_model(d["w"])(x, t, True)
+        return cap
+
+    def diff_eps_model(d, aux, x, t):
+        eps, _ = _make_eps_model(d["w"])(x, t, False)
+        return eps + 0.0 * aux["c"]
+
+    def combined_loss(res):
+        return (res.latents ** 2).mean() + 0.1 * res.captured["probe"].sum()
+
+    def loss_cached(w_):
+        res = sample_comat(
+            _make_eps_model(w_), coeffs, x0, rng, trained, INTERVAL,
+            capture=True,
+            diff_eps_model=diff_eps_model, diff_tree={"w": w_},
+            aux_tree={"c": jnp.zeros(())},
+            diff_capture_vjp=diff_capture_vjp,
+            diff_capture_primal=diff_capture_primal,
+        )
+        return combined_loss(res)
+
+    def loss_plain(w_):
+        res = sample_comat(
+            _make_eps_model(w_), coeffs, x0, rng, trained, INTERVAL,
+            capture=True,
+        )
+        return combined_loss(res)
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss_cached))(w)
+    v2, g2 = jax.value_and_grad(loss_plain)(w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-8
+    )
+    assert float(jnp.abs(g1).sum()) > 0
+
+
 def test_cached_primal_x0_grad_zero(setup):
     """Reference semantics hold on the cached path too: the initial
     latent is consumed by the stop-gradient pass 1 only, so it carries
