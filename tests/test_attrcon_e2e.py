@@ -59,6 +59,70 @@ def test_attrcon_train_step():
     assert float(metrics["pixel_loss"]) > 0
 
 
+def test_cached_capture_pipeline_matches_fallback():
+    """Pipeline-level guard for the cached-primal CAPTURE replay: with a
+    (trainable, frozen) partition, forward(capture=True) runs
+    sampler._make_cached_capture_eps (cond-half capture primal + joint
+    (eps, captured) VJP); without the partition it takes the remat'd
+    full-forward fallback. Values and LoRA gradients must agree through
+    the real tiny UNet, with cotangents entering through BOTH the
+    captured maps (grounding path) and the image (reward path).
+    fuse_pass1=False so pass 1 computes eps with the same unfused
+    arithmetic the fallback's segment recompute uses."""
+    import dataclasses
+
+    from comat_tpu.training.train_step import merge_params, partition_params
+
+    pipe, blip, params, blip_params, batch, tcfg = _build(2)
+    pipe.cfg = dataclasses.replace(pipe.cfg, attrcon=True)
+    trainable, frozen = partition_params(params, tcfg)
+    trained_idx = jnp.array([1, 4, 7])  # K=3, interval=3 of total 10
+    rng = jax.random.PRNGKey(5)
+
+    def total_loss(image, result):
+        cap = sum(
+            jnp.sum(v.astype(jnp.float32) ** 2)
+            for v in jax.tree_util.tree_leaves(result.captured)
+        )
+        return jnp.mean(image.astype(jnp.float32) ** 2) + 1e-4 * cap
+
+    def run(tr, partitioned):
+        image, result = pipe.forward(
+            merge_params(tr, frozen), rng,
+            batch["input_ids"], batch["null_ids"], trained_idx,
+            num_inference_steps=tcfg.total_step, K=tcfg.K,
+            eos_positions=batch["eos_positions"],
+            capture=True, fuse_pass1=False,
+            trainable=tr if partitioned else None,
+            frozen=frozen if partitioned else None,
+        )
+        return total_loss(image, result)
+
+    v1, g1 = jax.jit(
+        jax.value_and_grad(lambda tr: run(tr, True))
+    )(trainable)
+    v2, g2 = jax.jit(
+        jax.value_and_grad(lambda tr: run(tr, False))
+    )(trainable)
+
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-3)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    checked = 0
+    for path, leaf in flat1:
+        other = flat2[path]
+        a, b = np.asarray(leaf, np.float64), np.asarray(other, np.float64)
+        denom = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a / denom, b / denom, atol=2e-2,
+            err_msg=jax.tree_util.keystr(path),
+        )
+        checked += 1
+    assert checked > 0
+    assert float(sum(np.abs(np.asarray(l)).sum()
+                     for _, l in flat1)) > 0
+
+
 def test_presample_split_matches_single_program():
     """The Grounded-SAM split flow (presample program -> host masks ->
     grad program consuming eps_table/latents_traj) must reproduce the
