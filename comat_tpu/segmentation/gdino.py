@@ -261,13 +261,13 @@ class TextSelfAttnLayer(nn.Module):
         p = jax.nn.softmax(logits, -1)
         o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), split(v))
         o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
-        x = nn.LayerNorm(dtype=c.dtype, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="norm1")(
             x + nn.Dense(D, dtype=c.dtype, name="out")(o)
         )
         h = nn.Dense(max(c.ffn_dim // 2, 1), dtype=c.dtype,
                      name="fc1")(x)
         h = nn.Dense(D, dtype=c.dtype, name="fc2")(nn.relu(h))
-        return nn.LayerNorm(dtype=c.dtype, name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="norm2")(x + h)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -298,10 +298,10 @@ class DeformableEncoderLayer(nn.Module):
         )
         attn = ms_deformable_attention(value, spatial_shapes, locs, w)
         attn = nn.Dense(D, dtype=c.dtype, name="out")(attn)
-        src = nn.LayerNorm(dtype=c.dtype, name="norm1")(src + attn)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="norm1")(src + attn)
         h = nn.Dense(c.ffn_dim, dtype=c.dtype, name="fc1")(src)
         h = nn.Dense(D, dtype=c.dtype, name="fc2")(nn.relu(h))
-        return nn.LayerNorm(dtype=c.dtype, name="norm2")(src + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="norm2")(src + h)
 
 
 class BiAttentionFusion(nn.Module):
@@ -322,8 +322,8 @@ class BiAttentionFusion(nn.Module):
         B, S, _ = img.shape
         T = text.shape[1]
         dh = E // heads
-        vi = nn.LayerNorm(dtype=c.dtype, name="layer_norm_v")(img)
-        li = nn.LayerNorm(dtype=c.dtype, name="layer_norm_l")(text)
+        vi = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="layer_norm_v")(img)
+        li = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="layer_norm_l")(text)
         split = lambda a, n: a.reshape(B, n, heads, dh).transpose(
             0, 2, 1, 3
         )
@@ -352,9 +352,12 @@ class BiAttentionFusion(nn.Module):
                          (D,), jnp.float32)
         g_t = self.param("gamma_l", nn.initializers.constant(0.125),
                          (D,), jnp.float32)
-        img = img + g_i.astype(img.dtype) * nn.Dense(
+        # BiAttentionBlock replaces the stream with the pre-norm output:
+        # the residual base is LN(x), not x (torch fusion_layers
+        # reassign `v = layer_norm_v(v)` before `v = v + gamma*delta`)
+        img = vi + g_i.astype(img.dtype) * nn.Dense(
             D, dtype=c.dtype, name="out_v_proj")(i2t)
-        text = text + g_t.astype(text.dtype) * nn.Dense(
+        text = li + g_t.astype(text.dtype) * nn.Dense(
             D, dtype=c.dtype, name="out_l_proj")(t2i)
         return img, text
 
@@ -403,7 +406,7 @@ class DecoderLayer(nn.Module):
             nn.Dense(D, dtype=c.dtype, name="sa_v")(q),
             None,
         )
-        q = nn.LayerNorm(dtype=c.dtype, name="norm_sa")(
+        q = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="norm_sa")(
             q + nn.Dense(D, dtype=c.dtype, name="sa_out")(sa)
         )
         # text cross-attention
@@ -413,7 +416,7 @@ class DecoderLayer(nn.Module):
             nn.Dense(D, dtype=c.dtype, name="ca_v")(text),
             text_mask,
         )
-        q = nn.LayerNorm(dtype=c.dtype, name="norm_ca")(
+        q = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="norm_ca")(
             q + nn.Dense(D, dtype=c.dtype, name="ca_out")(ca)
         )
         # deformable image cross-attention; sampling offsets scaled by
@@ -430,12 +433,12 @@ class DecoderLayer(nn.Module):
         wh = ref_boxes[:, :, None, None, None, 2:]
         locs = center + off / c.points * wh * 0.5
         da = ms_deformable_attention(src_value, spatial_shapes, locs, w)
-        q = nn.LayerNorm(dtype=c.dtype, name="norm_da")(
+        q = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="norm_da")(
             q + nn.Dense(D, dtype=c.dtype, name="da_out")(da)
         )
         h = nn.Dense(c.ffn_dim, dtype=c.dtype, name="fc1")(q)
         h = nn.Dense(D, dtype=c.dtype, name="fc2")(nn.relu(h))
-        return nn.LayerNorm(dtype=c.dtype, name="norm_ffn")(q + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="norm_ffn")(q + h)
 
 
 def _contrastive_logits(q, text, text_mask):
@@ -486,7 +489,7 @@ class GroundingDetector(nn.Module):
             for i in range(5):
                 x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
                             dtype=dt, name=f"bb{i}")(x)
-                x = nn.gelu(nn.GroupNorm(num_groups=min(8, ch), dtype=dt,
+                x = nn.gelu(nn.GroupNorm(epsilon=1e-5, num_groups=min(8, ch), dtype=dt,
                                          name=f"bbn{i}")(x))
                 if i >= 2:  # strides 8, 16, 32
                     stages.append(x)
@@ -495,7 +498,7 @@ class GroundingDetector(nn.Module):
             f = nn.Conv(c.hidden, (1, 1), dtype=dt,
                         name=f"input_proj{i}_conv")(stages[i])
             feats.append(
-                nn.GroupNorm(num_groups=32 if c.hidden % 32 == 0 else 1,
+                nn.GroupNorm(epsilon=1e-5, num_groups=32 if c.hidden % 32 == 0 else 1,
                              dtype=dt, name=f"input_proj{i}_norm")(f)
             )
         for i in range(n_backbone, c.levels):
@@ -503,7 +506,7 @@ class GroundingDetector(nn.Module):
             f = nn.Conv(c.hidden, (3, 3), strides=(2, 2), padding=1,
                         dtype=dt, name=f"input_proj{i}_conv")(stages[-1])
             feats.append(
-                nn.GroupNorm(num_groups=32 if c.hidden % 32 == 0 else 1,
+                nn.GroupNorm(epsilon=1e-5, num_groups=32 if c.hidden % 32 == 0 else 1,
                              dtype=dt, name=f"input_proj{i}_norm")(f)
             )
         spatial_shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
@@ -556,7 +559,7 @@ class GroundingDetector(nn.Module):
         # enc_output + norm; grid proposals (wh = 0.05 * 2^lvl);
         # top-k positions by max contrastive token logit; reference
         # boxes = sigmoid(bbox_delta + inverse_sigmoid(proposals)).
-        mem = nn.LayerNorm(dtype=dt, name="enc_output_norm")(
+        mem = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="enc_output_norm")(
             nn.Dense(c.hidden, dtype=dt, name="enc_output")(src)
         )
         scale_parts = []
@@ -595,7 +598,7 @@ class GroundingDetector(nn.Module):
         # a single torch module applied per layer — instantiate once
         ref_point_head = MLP(c.hidden, c.hidden, 2, dt,
                              name="ref_point_head")
-        dec_norm = nn.LayerNorm(dtype=dt, name="dec_norm")
+        dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="dec_norm")
         normed = q
         for i in range(c.dec_layers):
             query_pos = ref_point_head(sine_box_embed(qr, c.hidden // 2))

@@ -76,6 +76,18 @@ def _merge_perm(x):
     ).T
 
 
+def _merge_norm_perm(x):
+    """Patch-merging norm scale/bias live on the same 4C concat axis as
+    the reduction input: apply the identical torch->flax block permute
+    (LayerNorm statistics are permutation-invariant; the per-channel
+    affine is not)."""
+    x = np.asarray(x)  # (4C,)
+    c = x.shape[0] // 4
+    b = [x[0 * c : 1 * c], x[1 * c : 2 * c],
+         x[2 * c : 3 * c], x[3 * c : 4 * c]]
+    return np.concatenate([b[0], b[2], b[1], b[3]])
+
+
 def _dense(base: str, leaf: str):
     return (f"{base}.weight", _t) if leaf == "kernel" else (
         f"{base}.bias", _id
@@ -131,7 +143,11 @@ def _swin(p, leaf):
         return None
     m = re.fullmatch(r"merge_norm(\d+)", top)
     if m:
-        return _norm(f"{base}.layers.{m.group(1)}.downsample.norm", leaf)
+        nb = f"{base}.layers.{m.group(1)}.downsample.norm"
+        return (
+            (f"{nb}.weight", _merge_norm_perm) if leaf == "scale"
+            else (f"{nb}.bias", _merge_norm_perm)
+        )
     m = re.fullmatch(r"merge(\d+)", top)
     if m:
         return (

@@ -120,7 +120,7 @@ class SwinBlock(nn.Module):
         # behavior matches at any input size.
         Hp = -(-H // w) * w
         Wp = -(-W // w) * w
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if Hp != H or Wp != W:
             h = jnp.pad(h, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         if self.shift:
@@ -138,7 +138,7 @@ class SwinBlock(nn.Module):
         if Hp != H or Wp != W:
             h = h[:, :H, :W]
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      name="fc1")(h)
         h = nn.gelu(h, approximate=False)
@@ -170,7 +170,7 @@ class SwinBackbone(nn.Module):
         dt = cfg.dtype
         x = nn.Conv(cfg.embed_dim, (4, 4), strides=(4, 4), dtype=dt,
                     name="patch_embed")(image.astype(dt))
-        x = nn.LayerNorm(dtype=dt, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="patch_norm")(x)
         outs = []
         for stage, (depth, heads) in enumerate(
             zip(cfg.depths, cfg.num_heads)
@@ -183,7 +183,7 @@ class SwinBackbone(nn.Module):
                 )(x)
             if stage >= 1:
                 outs.append(
-                    nn.LayerNorm(dtype=dt, name=f"out_norm{stage}")(x)
+                    nn.LayerNorm(epsilon=1e-5, dtype=dt, name=f"out_norm{stage}")(x)
                 )
             if stage < len(cfg.depths) - 1:
                 # patch merging: 2x2 concat + linear to 2C (torch pads
@@ -198,7 +198,7 @@ class SwinBackbone(nn.Module):
                 x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
                     B, H // 2, W // 2, 4 * C
                 )
-                x = nn.LayerNorm(dtype=dt, name=f"merge_norm{stage}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=dt, name=f"merge_norm{stage}")(x)
                 x = nn.Dense(2 * C, use_bias=False, dtype=dt,
                              name=f"merge{stage}")(x)
         return outs
