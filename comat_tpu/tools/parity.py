@@ -309,6 +309,131 @@ def check_blip(state_dict=None, hf_cfg=None, tol=1e-4):
 
 
 # ---------------------------------------------------------------------
+# GroundingDINO: torch transformers detector vs ours, fp32
+# ---------------------------------------------------------------------
+
+def _build_hf_gdino_tiny():
+    """Random tiny HF GroundingDino at the geometry of our
+    GDinoConfig.tiny_swin (vocab raised to cover HF's hardcoded
+    SPECIAL_TOKENS, '.' = 1012)."""
+    import torch
+    from transformers import (
+        BertConfig, GroundingDinoConfig,
+        GroundingDinoForObjectDetection, SwinConfig,
+    )
+
+    cfg = GroundingDinoConfig(
+        backbone_config=SwinConfig(
+            image_size=256, embed_dim=16, depths=[1, 1, 2, 1],
+            num_heads=[1, 2, 2, 4], window_size=4,
+            out_features=["stage2", "stage3", "stage4"],
+            drop_path_rate=0.0, attention_probs_dropout_prob=0.0,
+            hidden_dropout_prob=0.0,
+        ),
+        text_config=BertConfig(
+            vocab_size=2000, hidden_size=32, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        ),
+        d_model=32, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        encoder_n_points=2, decoder_n_points=2,
+        num_queries=20, max_text_len=16, num_feature_levels=3,
+        dropout=0.0, fusion_dropout=0.0, fusion_droppath=0.0,
+        text_enhancer_dropout=0.0, activation_dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = GroundingDinoForObjectDetection(cfg).eval()
+    # generic small random weights (the default init zeroes some heads)
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.empty_like(p).normal_(0.0, 0.04, generator=g))
+    return model
+
+
+def check_gdino(hf_model=None, image_size=256, tol_boxes=5e-4,
+                tol_logits=5e-3, label="gdino_torch_parity"):
+    """Boxes + token-logit parity of GroundingDetector vs HF
+    transformers' GroundingDino (the trusted port of the detector the
+    reference drives through gsam_interface.py)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from comat_tpu.segmentation.gdino import (
+        GDinoConfig, GroundingDetector, build_text_masks,
+    )
+    from comat_tpu.segmentation.gdino_import_hf import convert_gdino_from_hf
+
+    try:
+        if hf_model is None:
+            hf_model = _build_hf_gdino_tiny()
+            ours_cfg = dataclasses.replace(
+                GDinoConfig.tiny_swin(), text_vocab=2000
+            )
+        else:
+            ours_cfg = dataclasses.replace(
+                GDinoConfig.swint_ogc(), dtype=jnp.float32
+            )
+    except ImportError as e:  # transformers too old for GroundingDino
+        _report(label, "SKIP", f"{e}")
+        return
+
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    ours = GroundingDetector(ours_cfg)
+
+    rng = np.random.default_rng(0)
+    B, H = 1, image_size
+    image = rng.standard_normal((B, H, H, 3), np.float32) * 0.5
+    # "<cls> a red car . a blue bird . <sep>" shaped id stream
+    ids = np.array(
+        [[101, 5, 200, 300, 1012, 5, 400, 500, 1012, 102]], np.int64
+    )
+    T = ids.shape[1]
+    text_mask = np.ones((B, T), bool)
+    self_mask, pos_ids = build_text_masks(ids, (101, 102, 1012))
+
+    params = ours.init(
+        jax.random.PRNGKey(0), image, ids.astype(np.int32), text_mask,
+        self_mask, pos_ids,
+    )
+    params, missing = convert_gdino_from_hf(params, sd)
+    if missing:
+        _report(label, "FAIL", f"{len(missing)} unmapped: {missing[:3]}")
+        return
+    boxes, logits = jax.jit(ours.apply)(
+        params, image, ids.astype(np.int32), text_mask, self_mask,
+        pos_ids,
+    )
+    with torch.no_grad():
+        out = hf_model(
+            pixel_values=torch.from_numpy(image.transpose(0, 3, 1, 2)),
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.ones(B, T, dtype=torch.long),
+            token_type_ids=torch.zeros(B, T, dtype=torch.long),
+        )
+    d_box = float(np.abs(
+        np.asarray(boxes, np.float32) - out.pred_boxes.numpy()
+    ).max())
+    d_log = float(np.abs(
+        np.asarray(logits, np.float32) - out.logits.numpy()[:, :, :T]
+    ).max())
+    if d_box <= tol_boxes and d_log <= tol_logits:
+        _report(label, "PASS",
+                f"|Δboxes|={d_box:.2e} |Δlogits|={d_log:.2e}")
+    else:
+        _report(label, "FAIL",
+                f"|Δboxes|={d_box:.2e} (tol {tol_boxes}) "
+                f"|Δlogits|={d_log:.2e} (tol {tol_logits})")
+
+
+# ---------------------------------------------------------------------
 # Real-snapshot audits + step-loss fixture
 # ---------------------------------------------------------------------
 
@@ -450,6 +575,9 @@ def main(argv=None):
                          "text_encoder/ tokenizer/)")
     ap.add_argument("--blip", default=None,
                     help="BLIP captioner snapshot dir")
+    ap.add_argument("--gdino", default=None,
+                    help="GroundingDINO HF-transformers snapshot dir "
+                         "(IDEA-Research/grounding-dino-tiny layout)")
     ap.add_argument("--fixture", default=None,
                     help="step-loss fixture JSON "
                          "(fixtures/step_loss_sd15.json)")
@@ -498,6 +626,7 @@ def main(argv=None):
     clip = CLIPTextEncoder(CLIPTextConfig.tiny())
     cp = clip.init(K, jnp.zeros((1, 77), jnp.int32))
     check_roundtrip("clip", cp, _clip_hf_name)
+    check_gdino()
 
     # Tier 2: real snapshot
     if args.snapshot:
@@ -533,6 +662,17 @@ def main(argv=None):
                 k: v.detach().numpy() for k, v in tm.state_dict().items()
             },
             hf_cfg=tm.config,
+        )
+
+    if args.gdino and os.path.isdir(args.gdino):
+        from transformers import GroundingDinoForObjectDetection
+
+        check_gdino(
+            hf_model=GroundingDinoForObjectDetection.from_pretrained(
+                args.gdino
+            ).eval(),
+            image_size=448,
+            label="gdino_snapshot_parity",
         )
 
     # Tier 3: step-loss fixture
