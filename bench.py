@@ -480,9 +480,50 @@ def _run_full(batch_size, model):
     return dt_full, f_img, comp, t_pass1, t_pass1_int8, phases
 
 
+def _device_reachable(timeout_s: float = 420.0) -> bool:
+    """The axon TPU relay can be down (observed: multi-hour outages);
+    jax then blocks forever inside backend init. Probe a trivial op
+    with a bounded join so the driver gets a parseable error record
+    instead of a bare timeout. A healthy relay finishes this in well
+    under 2 min (cold init ~60s)."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        x = jnp.ones(())
+        jax.device_get(x + 1)
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok.is_set()
+
+
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     model = sys.argv[2] if len(sys.argv) > 2 else "sd_1_5"
+
+    if not _device_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        ("sd15" if model == "sd_1_5" else model)
+                        + "_comat_full_recipe_train_step_throughput_512px"
+                    ),
+                    "value": None,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": None,
+                    "detail": {
+                        "error": "device unreachable within 420s "
+                                 "(axon TPU relay down?)",
+                    },
+                }
+            )
+        )
+        return
 
     # persistent compile cache: the full-recipe step compiles in ~15
     # min through the relay; reruns should not pay it again
