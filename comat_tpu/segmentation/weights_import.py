@@ -10,13 +10,14 @@ yaml: backbone 0-9, neck 10-21 (upsample/concat layers own no params),
 Segment head = 22 (cv2=box, cv3=cls, cv4=mask-coeff branches, proto).
 
 Layout transforms: torch conv OIHW -> flax HWIO; ConvTranspose IOHW ->
-flax HWIO (+ kernel flip is NOT needed: torch ConvTranspose2d and flax
-ConvTranspose both correlate the kernel); BatchNorm running stats land
-in the `batch_stats` collection.
+flax HWIO WITH a spatial tap flip (torch scatters the kernel, flax
+correlates it); BatchNorm running stats land in the `batch_stats`
+collection.
 
-Structurally validated against a synthetic state dict in
-tests/test_fastsam.py; real-checkpoint validation requires the
-FastSAM-x.pt file (zero-egress environments ship none).
+Value-validated against an independent torch YOLOv8-seg twin carrying
+ultralytics' exact state-dict naming (parity.check_fastsam /
+tests/test_fastsam.py); the real FastSAM-x.pt file itself is absent in
+zero-egress environments.
 """
 
 from __future__ import annotations
@@ -42,7 +43,13 @@ def _conv(x):
 
 
 def _convT(x):  # torch ConvTranspose2d weight (I, O, kh, kw)
-    return np.transpose(np.asarray(x), (2, 3, 0, 1))
+    # flax ConvTranspose CORRELATES the (kh, kw, I, O) kernel across the
+    # fractionally-strided input, while torch ConvTranspose2d computes
+    # the conv gradient (scatter) — equal only after flipping the
+    # spatial taps (value-verified vs torch in parity.check_fastsam).
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(x), (2, 3, 0, 1))[::-1, ::-1]
+    )
 
 
 def _id(x):

@@ -434,6 +434,229 @@ def check_gdino(hf_model=None, image_size=256, tol_boxes=5e-4,
 
 
 # ---------------------------------------------------------------------
+# FastSAM: independent torch YOLOv8-seg twin vs ours, fp32
+# ---------------------------------------------------------------------
+
+def _build_torch_yolov8seg(cfg):
+    """An independent torch transcription of ultralytics' YOLOv8-seg
+    forward (Conv+BN(eps 1e-3)+SiLU blocks, C2f chunk-and-append, SPPF
+    triple-maxpool, PAN neck, Segment head with cv2/cv3/cv4 branches +
+    Proto) whose state_dict uses ultralytics' exact module names
+    (`model.model.{idx}...`) — the layout `FastSAM-x.pt` ships
+    (reference: attr_concen_utils/gsam_interface.py:24-28). Feeding it
+    through weights_import.load_fastsam_params validates the converter
+    AND our Flax forward math without ultralytics in the image."""
+    import torch
+    from torch import nn
+
+    class TConv(nn.Module):
+        def __init__(self, ci, co, k=1, s=1):
+            super().__init__()
+            self.conv = nn.Conv2d(ci, co, k, s, k // 2, bias=False)
+            self.bn = nn.BatchNorm2d(co, eps=1e-3)
+
+        def forward(self, x):
+            return nn.functional.silu(self.bn(self.conv(x)))
+
+    class TBottleneck(nn.Module):
+        def __init__(self, c, shortcut):
+            super().__init__()
+            self.cv1 = TConv(c, c, 3)
+            self.cv2 = TConv(c, c, 3)
+            self.add = shortcut
+
+        def forward(self, x):
+            h = self.cv2(self.cv1(x))
+            return x + h if self.add else h
+
+    class TC2f(nn.Module):
+        def __init__(self, ci, co, n, shortcut):
+            super().__init__()
+            c = co // 2
+            self.cv1 = TConv(ci, 2 * c, 1)
+            self.cv2 = TConv((2 + n) * c, co, 1)
+            self.m = nn.ModuleList(
+                TBottleneck(c, shortcut) for _ in range(n)
+            )
+
+        def forward(self, x):
+            y = list(self.cv1(x).chunk(2, 1))
+            for m in self.m:
+                y.append(m(y[-1]))
+            return self.cv2(torch.cat(y, 1))
+
+    class TSPPF(nn.Module):
+        def __init__(self, ci, co):
+            super().__init__()
+            c = ci // 2
+            self.cv1 = TConv(ci, c, 1)
+            self.cv2 = TConv(c * 4, co, 1)
+            self.mp = nn.MaxPool2d(5, 1, 2)
+
+        def forward(self, x):
+            x = self.cv1(x)
+            y1 = self.mp(x)
+            y2 = self.mp(y1)
+            return self.cv2(torch.cat([x, y1, y2, self.mp(y2)], 1))
+
+    class TProto(nn.Module):
+        def __init__(self, ci, cp, nm):
+            super().__init__()
+            self.cv1 = TConv(ci, cp, 3)
+            self.upsample = nn.ConvTranspose2d(cp, cp, 2, 2, 0)
+            self.cv2 = TConv(cp, cp, 3)
+            self.cv3 = TConv(cp, nm, 1)
+
+        def forward(self, x):
+            return self.cv3(self.cv2(self.upsample(self.cv1(x))))
+
+    class TSegment(nn.Module):
+        def __init__(self, chs, cp, nc, nm, reg_max):
+            super().__init__()
+            ch0 = chs[0]
+            c2 = max(16, ch0 // 4, reg_max * 4)
+            c3 = max(ch0, min(nc, 100))
+            c4 = max(ch0 // 4, nm)
+            mk = lambda cm, co: nn.ModuleList(
+                nn.Sequential(TConv(ch, cm, 3), TConv(cm, cm, 3),
+                              nn.Conv2d(cm, co, 1))
+                for ch in chs
+            )
+            self.cv2 = mk(c2, 4 * reg_max)  # box (DFL dist)
+            self.cv3 = mk(c3, nc)           # cls
+            self.cv4 = mk(c4, nm)           # mask coeffs
+            self.proto = TProto(ch0, cp, nm)
+
+    ch, n = cfg.ch, cfg.n
+    layers = nn.ModuleList([
+        TConv(3, ch(64), 3, 2),                       # 0 stem
+        TConv(ch(64), ch(128), 3, 2),                 # 1
+        TC2f(ch(128), ch(128), n(3), True),           # 2
+        TConv(ch(128), ch(256), 3, 2),                # 3
+        TC2f(ch(256), ch(256), n(6), True),           # 4 -> p3
+        TConv(ch(256), ch(512), 3, 2),                # 5
+        TC2f(ch(512), ch(512), n(6), True),           # 6 -> p4
+        TConv(ch(512), ch(512), 3, 2),                # 7
+        TC2f(ch(512), ch(512), n(3), True),           # 8
+        TSPPF(ch(512), ch(512)),                      # 9 -> p5
+        nn.Identity(),                                # 10 upsample
+        nn.Identity(),                                # 11 concat
+        TC2f(ch(512) + ch(512), ch(512), n(3), False),  # 12 up_c2f4
+        nn.Identity(),                                # 13 upsample
+        nn.Identity(),                                # 14 concat
+        TC2f(ch(512) + ch(256), ch(256), n(3), False),  # 15 up_c2f3
+        TConv(ch(256), ch(256), 3, 2),                # 16 dn_conv3
+        nn.Identity(),                                # 17 concat
+        TC2f(ch(256) + ch(512), ch(512), n(3), False),  # 18 dn_c2f4
+        TConv(ch(512), ch(512), 3, 2),                # 19 dn_conv4
+        nn.Identity(),                                # 20 concat
+        TC2f(ch(512) + ch(512), ch(512), n(3), False),  # 21 dn_c2f5
+        TSegment([ch(256), ch(512), ch(512)], ch(256),
+                 cfg.num_classes, cfg.num_masks, cfg.reg_max),  # 22
+    ])
+
+    class Inner(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = layers
+
+    class Root(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = Inner()
+
+        def forward(self, img):
+            m = self.model.model
+            up = lambda x: nn.functional.interpolate(
+                x, scale_factor=2, mode="nearest"
+            )
+            x = m[1](m[0](img))
+            p3 = m[4](m[3](m[2](x)))
+            p4 = m[6](m[5](p3))
+            p5 = m[9](m[8](m[7](p4)))
+            u4 = m[12](torch.cat([up(p5), p4], 1))
+            u3 = m[15](torch.cat([up(u4), p3], 1))
+            d4 = m[18](torch.cat([m[16](u3), u4], 1))
+            d5 = m[21](torch.cat([m[19](d4), p5], 1))
+            head = m[22]
+            outs = []
+            for i, f in enumerate([u3, d4, d5]):
+                outs.append({
+                    "box": head.cv2[i](f),
+                    "cls": head.cv3[i](f),
+                    "mc": head.cv4[i](f),
+                })
+            return outs, head.proto(u3)
+
+    root = Root().eval()
+    g = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for p in root.parameters():
+            p.copy_(torch.empty_like(p).normal_(0.0, 0.05, generator=g))
+        for mod in root.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.normal_(0.0, 0.05, generator=g)
+                mod.running_var.copy_(
+                    torch.empty_like(mod.running_var)
+                    .normal_(0.0, 0.2, generator=g).abs() + 0.5
+                )
+                mod.weight.copy_(
+                    torch.empty_like(mod.weight)
+                    .normal_(1.0, 0.1, generator=g)
+                )
+    return root
+
+
+def check_fastsam(tol=1e-3, label="fastsam_torch_parity"):
+    """Per-level box/cls/mask-coeff + proto parity of our Flax
+    YoloV8Seg against the independent torch YOLOv8-seg twin, with
+    weights flowing through weights_import.load_fastsam_params (the
+    FastSAM-x.pt state-dict layout)."""
+    import dataclasses
+
+    import jax
+    import torch
+
+    from comat_tpu.segmentation.fastsam import YoloSegConfig, YoloV8Seg
+    from comat_tpu.segmentation.weights_import import load_fastsam_params
+
+    cfg = dataclasses.replace(YoloSegConfig.tiny(), dtype=jax.numpy.float32)
+    twin = _build_torch_yolov8seg(cfg)
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+
+    model = YoloV8Seg(cfg)
+    rng = np.random.default_rng(5)
+    img = rng.standard_normal((2, 64, 64, 3)).astype(np.float32) * 0.5
+    variables = model.init(jax.random.PRNGKey(0), img)
+    variables, missing = load_fastsam_params(sd, variables)
+    if missing:
+        _report(label, "FAIL", f"{len(missing)} unmapped: {missing[:3]}")
+        return
+    outs, protos = jax.jit(model.apply)(variables, img)
+    with torch.no_grad():
+        t_outs, t_protos = twin(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))
+        )
+
+    worst = 0.0
+    for o, t in zip(outs, t_outs):
+        for k in ("box", "cls", "mc"):
+            d = float(np.abs(
+                np.asarray(o[k], np.float32)
+                - t[k].numpy().transpose(0, 2, 3, 1)
+            ).max())
+            worst = max(worst, d)
+    worst = max(worst, float(np.abs(
+        np.asarray(protos, np.float32)
+        - t_protos.numpy().transpose(0, 2, 3, 1)
+    ).max()))
+    if worst <= tol:
+        _report(label, "PASS", f"|Δ|max={worst:.2e}")
+    else:
+        _report(label, "FAIL", f"|Δ|max={worst:.2e} > {tol}")
+
+
+# ---------------------------------------------------------------------
 # Real-snapshot audits + step-loss fixture
 # ---------------------------------------------------------------------
 
@@ -627,6 +850,7 @@ def main(argv=None):
     cp = clip.init(K, jnp.zeros((1, 77), jnp.int32))
     check_roundtrip("clip", cp, _clip_hf_name)
     check_gdino()
+    check_fastsam()
 
     # Tier 2: real snapshot
     if args.snapshot:

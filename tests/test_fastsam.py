@@ -103,3 +103,20 @@ def test_fastsam_weight_mapping_coverage():
     # outputs still computable
     outs, protos = model.apply(loaded, img)
     assert np.isfinite(np.asarray(protos)).all()
+
+
+@pytest.mark.slow
+def test_fastsam_matches_torch_twin():
+    """Value-level parity vs an independent torch YOLOv8-seg twin whose
+    state_dict uses ultralytics' exact FastSAM-x.pt naming: validates
+    the converter layout AND our Flax forward math (same approach as
+    the GroundingDINO HF parity check)."""
+    pytest.importorskip("torch")
+    from comat_tpu.tools import parity
+
+    parity._RESULTS.clear()
+    parity.check_fastsam()
+    assert parity._RESULTS, "check_fastsam reported nothing"
+    name, status, detail = parity._RESULTS[-1]
+    assert name == "fastsam_torch_parity"
+    assert status == "PASS", detail
