@@ -104,7 +104,8 @@ class BLIPTextLayer(nn.Module):
         self,
         x: jnp.ndarray,
         attn_mask: jnp.ndarray,      # (B, 1, S, S) bool (causal & padding)
-        enc: jnp.ndarray,            # (B, Sv, Dv) vision states
+        enc: jnp.ndarray,            # (B, Sv, Dv) cross-attn key states
+        cross_mask: jnp.ndarray = None,  # (B, 1, S|1, Sv) bool or None
     ) -> jnp.ndarray:
         cfg = self.cfg
         dt = cfg.dtype
@@ -140,7 +141,7 @@ class BLIPTextLayer(nn.Module):
         q = nn.Dense(D, dtype=dt, name="cross_q")(x)
         k = nn.Dense(D, dtype=dt, name="cross_k")(enc.astype(dt))
         v = nn.Dense(D, dtype=dt, name="cross_v")(enc.astype(dt))
-        a = mha(q, k, v, None, "cross")
+        a = mha(q, k, v, cross_mask, "cross")
         a = nn.Dense(D, dtype=dt, name="cross_out")(a)
         x = nn.LayerNorm(epsilon=1e-12, dtype=dt, name="cross_norm")(x + a)
 

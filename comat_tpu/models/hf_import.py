@@ -400,6 +400,41 @@ def _blip_hf_name(path: Tuple[str, ...]) -> Optional[Tuple[str, Callable]]:
     return None
 
 
+def _blip_vqa_hf_name(path: Tuple[str, ...]) -> Optional[Tuple[str, Callable]]:
+    """BLIP-VQA (transformers BlipForQuestionAnswering): the vision
+    tower and the answer decoder share the captioner's layout
+    (`vision_model.*`, `text_decoder.bert.*` + cls head); the question
+    encoder is a bare BlipTextModel at `text_encoder.*`. Our params use
+    `enc_`/`dec_` prefixes (models/blip_vqa.py) — delegate to
+    _blip_hf_name and rewrite."""
+    p = list(path)
+    if p[0] == "vision":
+        return _blip_hf_name(path)
+    if p[0].startswith("dec_"):
+        return _blip_hf_name(tuple([p[0][4:]] + p[1:]))
+    if p[0].startswith("enc_"):
+        r = _blip_hf_name(tuple([p[0][4:]] + p[1:]))
+        if r is None:
+            return None
+        name, fn = r
+        return name.replace("text_decoder.bert.", "text_encoder."), fn
+    return None
+
+
+def load_blip_vqa_params(snapshot_dir: str, vqa_params):
+    """Real Salesforce/blip-vqa-base weights -> BLIPVQA params."""
+    tensors = _load_safetensors_dir(snapshot_dir)
+    out, missing = convert_tree(vqa_params, tensors, _blip_vqa_hf_name)
+    if missing:
+        import logging
+
+        logging.getLogger("comat_tpu").warning(
+            "blip_vqa: %d unmapped params (first: %s)",
+            len(missing), missing[:3],
+        )
+    return out
+
+
 def load_blip_params(snapshot_dir: str, blip_params):
     tensors = _load_safetensors_dir(snapshot_dir)
     out, missing = convert_tree(blip_params, tensors, _blip_hf_name)

@@ -308,6 +308,141 @@ def check_blip(state_dict=None, hf_cfg=None, tol=1e-4):
                 f"torch={t_loss:.6f} ours={ours:.6f} |Δ|={d:.2e} > {tol}")
 
 
+def check_blip_vqa(state_dict=None, hf_cfg=None, tol=1e-4):
+    """BLIP-VQA answer-ranking parity (the T2I-CompBench attribute-
+    binding scorer, tools/evaluate.py --metric bvqa_binding) vs HF
+    transformers' torch BlipForQuestionAnswering: vision -> question
+    encoder (cross-attn to image) -> answer decoder (cross-attn to
+    question states); compares P(yes) and both candidate logliks."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        import torch
+        import transformers
+    except ImportError as e:  # torch-free env: report, don't crash
+        _report("blip_vqa_torch_parity", "SKIP",
+                f"torch unavailable: {e}")
+        return
+
+    from comat_tpu.config import BLIPConfig
+    from comat_tpu.models.blip_vqa import BLIPVQA
+    from comat_tpu.models.hf_import import _blip_vqa_hf_name, convert_tree
+
+    if state_dict is None:
+        vcfg = transformers.BlipVisionConfig(
+            image_size=64, patch_size=16, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=64,
+        )
+        tcfg = transformers.BlipTextConfig(
+            vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            encoder_hidden_size=32, max_position_embeddings=512,
+            bos_token_id=1,
+        )
+        hf_cfg = transformers.BlipConfig(
+            text_config=tcfg.to_dict(), vision_config=vcfg.to_dict()
+        )
+        torch.manual_seed(3)
+        tm = transformers.BlipForQuestionAnswering(hf_cfg).eval()
+        ours_cfg = BLIPConfig.tiny(vocab_size=1000)
+    else:
+        tm = transformers.BlipForQuestionAnswering(hf_cfg).eval()
+        tm.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in state_dict.items()},
+            strict=False,
+        )
+        ours_cfg = BLIPConfig.large()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    vqa = BLIPVQA(BLIPConfig(**{**ours_cfg.__dict__,
+                                "dtype": jnp.float32}))
+    rng = np.random.RandomState(2)
+    B, Sq, Sa = 2, 8, 3
+    H = ours_cfg.image_size
+    pix = rng.randn(B, H, H, 3).astype(np.float32)
+    q_ids = rng.randint(4, ours_cfg.vocab_size, size=(B, Sq))
+    q_mask = np.ones((B, Sq), np.int64)
+    q_mask[1, 6:] = 0
+    q_ids[1, 6:] = 0
+    # unpadded BOS-led candidates (same length: causal masking then
+    # makes HF's key-padding mask irrelevant on scored positions)
+    a_yes = rng.randint(4, ours_cfg.vocab_size, size=(B, Sa))
+    a_no = rng.randint(4, ours_cfg.vocab_size, size=(B, Sa))
+    a_yes[:, 0] = a_no[:, 0] = ours_cfg.bos_token_id
+    lab_yes = a_yes.copy()
+    lab_no = a_no.copy()
+
+    params = vqa.init(
+        jax.random.PRNGKey(0), jnp.asarray(pix), jnp.asarray(q_ids),
+        jnp.asarray(q_mask), jnp.asarray(a_yes), jnp.asarray(lab_yes),
+        jnp.asarray(a_no), jnp.asarray(lab_no),
+    )
+    params, missing = convert_tree(params, sd, _blip_vqa_hf_name)
+    if missing:
+        _report("blip_vqa_torch_parity", "FAIL",
+                f"{len(missing)} unmapped: {missing[:3]}")
+        return
+
+    def torch_loglik(a_ids):
+        """Per-sample at TRUE question length (no pads): this version
+        of HF transformers does not apply encoder_attention_mask in the
+        BLIP text decoder's cross-attention (pad keys get real prob
+        mass — a regression vs the original BLIP repo's med.py, which
+        masks), so padded-batch torch is NOT ground truth. Unpadded
+        per-sample torch is; our padded jax batch must match it —
+        which also proves OUR cross-mask handles pads correctly."""
+        out = []
+        with torch.no_grad():
+            img = tm.vision_model(
+                pixel_values=torch.as_tensor(np.transpose(pix, (0, 3, 1, 2)))
+            )[0]
+            for b in range(B):
+                L = int(q_mask[b].sum())
+                qs = tm.text_encoder(
+                    input_ids=torch.as_tensor(q_ids[b : b + 1, :L]),
+                    attention_mask=torch.ones((1, L), dtype=torch.long),
+                    encoder_hidden_states=img[b : b + 1],
+                    encoder_attention_mask=torch.ones(
+                        (1, img.shape[1]), dtype=torch.long
+                    ),
+                )[0]
+                logits = tm.text_decoder(
+                    input_ids=torch.as_tensor(a_ids[b : b + 1]),
+                    attention_mask=torch.ones((1, Sa), dtype=torch.long),
+                    encoder_hidden_states=qs,
+                    encoder_attention_mask=torch.ones(
+                        (1, L), dtype=torch.long
+                    ),
+                ).logits
+                logp = torch.log_softmax(logits[:, :-1].float(), dim=-1)
+                tgt = torch.as_tensor(a_ids[b : b + 1, 1:])
+                out.append(
+                    logp.gather(-1, tgt[..., None])[..., 0].sum(-1).item()
+                )
+        return np.asarray(out)
+
+    t_yes = torch_loglik(a_yes)
+    t_no = torch_loglik(a_no)
+    t_prob = 1.0 / (1.0 + np.exp(-(t_yes - t_no)))
+
+    ours = np.asarray(vqa.apply(
+        params, jnp.asarray(pix), jnp.asarray(q_ids),
+        jnp.asarray(q_mask), jnp.asarray(a_yes), jnp.asarray(lab_yes),
+        jnp.asarray(a_no), jnp.asarray(lab_no),
+    ))
+    d = float(np.abs(ours - t_prob).max())
+    if d <= tol:
+        _report("blip_vqa_torch_parity", "PASS",
+                f"P(yes) torch={t_prob.round(6).tolist()} "
+                f"ours={ours.round(6).tolist()} |Δ|max={d:.2e}")
+    else:
+        _report("blip_vqa_torch_parity", "FAIL",
+                f"torch={t_prob.tolist()} ours={ours.tolist()} "
+                f"|Δ|max={d:.2e} > {tol}")
+
+
 # ---------------------------------------------------------------------
 # GroundingDINO: torch transformers detector vs ours, fp32
 # ---------------------------------------------------------------------
@@ -364,7 +499,12 @@ def check_gdino(hf_model=None, image_size=256, tol_boxes=5e-4,
 
     import jax
     import jax.numpy as jnp
-    import torch
+
+    try:
+        import torch
+    except ImportError as e:  # torch-free env: report, don't crash
+        _report(label, "SKIP", f"torch unavailable: {e}")
+        return
 
     from comat_tpu.segmentation.gdino import (
         GDinoConfig, GroundingDetector, build_text_masks,
@@ -607,26 +747,56 @@ def _build_torch_yolov8seg(cfg):
     return root
 
 
-def check_fastsam(tol=1e-3, label="fastsam_torch_parity"):
+def check_fastsam(tol=1e-3, label="fastsam_torch_parity",
+                  state_dict=None, image_size=64):
     """Per-level box/cls/mask-coeff + proto parity of our Flax
     YoloV8Seg against the independent torch YOLOv8-seg twin, with
     weights flowing through weights_import.load_fastsam_params (the
-    FastSAM-x.pt state-dict layout)."""
+    FastSAM-x.pt state-dict layout).
+
+    state_dict=None -> tiny twin with random weights (synthetic tier;
+    residual risk: a shared misreading of ultralytics' architecture
+    would pass undetected). With a REAL FastSAM-x state dict (tier 2,
+    --fastsam), both sides load the actual checkpoint at full size —
+    the twin via load_state_dict, ours via the converter — closing
+    that gap."""
     import dataclasses
 
     import jax
-    import torch
+
+    try:
+        import torch
+    except ImportError as e:  # torch-free env: report, don't crash
+        _report(label, "SKIP", f"torch unavailable: {e}")
+        return
 
     from comat_tpu.segmentation.fastsam import YoloSegConfig, YoloV8Seg
     from comat_tpu.segmentation.weights_import import load_fastsam_params
 
-    cfg = dataclasses.replace(YoloSegConfig.tiny(), dtype=jax.numpy.float32)
+    base = (
+        YoloSegConfig.fastsam_x() if state_dict is not None
+        else YoloSegConfig.tiny()
+    )
+    cfg = dataclasses.replace(base, dtype=jax.numpy.float32)
     twin = _build_torch_yolov8seg(cfg)
-    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+    if state_dict is not None:
+        sd = dict(state_dict)
+        try:
+            twin.load_state_dict(
+                {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+            )
+        except Exception as e:
+            _report(label, "FAIL", f"twin load_state_dict: {e}"[:300])
+            return
+        twin.eval()
+    else:
+        sd = {k: v.numpy() for k, v in twin.state_dict().items()}
 
     model = YoloV8Seg(cfg)
     rng = np.random.default_rng(5)
-    img = rng.standard_normal((2, 64, 64, 3)).astype(np.float32) * 0.5
+    img = rng.standard_normal(
+        (2 if state_dict is None else 1, image_size, image_size, 3)
+    ).astype(np.float32) * 0.5
     variables = model.init(jax.random.PRNGKey(0), img)
     variables, missing = load_fastsam_params(sd, variables)
     if missing:
@@ -801,11 +971,21 @@ def main(argv=None):
     ap.add_argument("--gdino", default=None,
                     help="GroundingDINO HF-transformers snapshot dir "
                          "(IDEA-Research/grounding-dino-tiny layout)")
+    ap.add_argument("--fastsam", default=None,
+                    help="real FastSAM-x.pt checkpoint: full-size "
+                         "parity of our Flax YOLOv8-seg + converter "
+                         "vs the torch twin loading the same weights")
     ap.add_argument("--fixture", default=None,
                     help="step-loss fixture JSON "
                          "(fixtures/step_loss_sd15.json)")
     ap.add_argument("--record", action="store_true",
                     help="write the measured step loss into --fixture")
+    ap.add_argument("--record-twin", action="store_true",
+                    help="write the torch-twin step-loss record into "
+                         "fixtures/step_loss_sd15.json")
+    ap.add_argument("--skip-twin", action="store_true",
+                    help="skip the step-loss torch-twin fixture "
+                         "(it jit-compiles a full tiny train step)")
     ap.add_argument("--tol", type=float, default=2e-5)
     ap.add_argument("--platform", choices=("cpu", "native"),
                     default="cpu",
@@ -838,6 +1018,7 @@ def main(argv=None):
     # Tier 1: synthetic (always runs)
     check_clip(tol=args.tol)
     check_blip()
+    check_blip_vqa()
     K = jax.random.PRNGKey(0)
     unet = UNet2DCondition(UNetConfig.tiny(), lora_rank=0)
     up = unet.init(K, jnp.zeros((1, 16, 16, 4)),
@@ -851,6 +1032,40 @@ def main(argv=None):
     check_roundtrip("clip", cp, _clip_hf_name)
     check_gdino()
     check_fastsam()
+
+    # North-star fixture (BASELINE.json step-loss parity <= 1e-3): the
+    # real jitted train step vs the independent torch twin of the
+    # SD1.5 denoise loop + losses (tools/torch_twin_sd15.py), tiny
+    # geometry, fp32, seeded.
+    if args.skip_twin:
+        _report("step_loss_twin_fixture", "SKIP", "--skip-twin")
+    else:
+        try:
+            from comat_tpu.tools.step_loss_fixture import (
+                TOL as TWIN_TOL, run_fixture,
+            )
+
+            rec = run_fixture(record=args.record_twin)
+            if "error" in rec:
+                _report("step_loss_twin_fixture", "FAIL",
+                        str(rec)[:250])
+            elif rec["abs_delta"] <= TWIN_TOL:
+                _report(
+                    "step_loss_twin_fixture", "PASS",
+                    f"|Δ|={rec['abs_delta']:.2e} (jax "
+                    f"{rec['jax']['step_loss']:.6f} vs twin "
+                    f"{rec['torch_twin']['step_loss']:.6f}, tol "
+                    f"{TWIN_TOL})",
+                )
+            else:
+                _report(
+                    "step_loss_twin_fixture", "FAIL",
+                    f"|Δ|={rec['abs_delta']:.2e} > {TWIN_TOL}: "
+                    f"components={rec['component_deltas']}",
+                )
+        except ImportError as e:
+            _report("step_loss_twin_fixture", "SKIP",
+                    f"torch/transformers unavailable: {e}")
 
     # Tier 2: real snapshot
     if args.snapshot:
@@ -897,6 +1112,23 @@ def main(argv=None):
             ).eval(),
             image_size=448,
             label="gdino_snapshot_parity",
+        )
+
+    if args.fastsam and os.path.isfile(args.fastsam):
+        import re as _re
+
+        from comat_tpu.segmentation.checkpoints import (
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(args.fastsam)
+        sd = {  # normalize DetectionModel-level keys up (checkpoints.py)
+            ("model." + k if _re.match(r"model\.\d+\.", k) else k): v
+            for k, v in sd.items()
+        }
+        check_fastsam(
+            state_dict=sd, image_size=160,
+            label="fastsam_snapshot_parity",
         )
 
     # Tier 3: step-loss fixture
