@@ -92,9 +92,17 @@ def _get_spacy():
 
 
 def parse_prompt(prompt: str):
-    """Dependency-parse one prompt: spacy when available (the
-    reference's parser, AttrConcenTrainableSDPipeline.py:69-71), else
-    the rule-based miniparse with the same doc interface."""
+    """Dependency-parse one prompt: an armed parse cache first (real
+    en_core_web_trf parses exported by a spacy-equipped host —
+    text/parse_cache.py, trainer flag --parse_cache), then spacy when
+    available (the reference's parser,
+    AttrConcenTrainableSDPipeline.py:69-71), else the rule-based
+    miniparse with the same doc interface."""
+    from comat_tpu.text import parse_cache
+
+    cached = parse_cache.lookup(prompt)
+    if cached is not None:
+        return cached
     nlp = _get_spacy()
     if nlp is not None:
         return nlp(prompt)
@@ -228,10 +236,12 @@ def unify_lists(lists_1: List[list], lists_2: List[list],
     return result
 
 
-def extract_attribution_pairs(prompt: str) -> List[list]:
+def extract_attribution_pairs(prompt: str, doc=None) -> List[list]:
     """All three variants + unify + the <4-member filter
-    (AttrConcenTrainableSDPipeline.py:281-295)."""
-    doc = parse_prompt(prompt)
+    (AttrConcenTrainableSDPipeline.py:281-295). `doc` overrides the
+    parser (used by tools/parse_stats to diff two parsers' groups)."""
+    if doc is None:
+        doc = parse_prompt(prompt)
     pairs = extract_attribution_indices(doc) or []
     pairs_2 = extract_attribution_indices_with_verb_root(doc) or []
     pairs_3 = extract_attribution_indices_with_verbs(doc) or []
@@ -360,15 +370,16 @@ def update_nouns_attributes(nouns: List[str], attributes: List[List[int]]):
 
 
 def extract_attribute_groups(
-    prompt: str, tokenizer, max_length: int = 77
+    prompt: str, tokenizer, max_length: int = 77, doc=None
 ) -> List[AttributeGroup]:
     """Full pipeline for one prompt: parse -> three variants -> unify
     -> align -> flatten (noun = last member, noun indices folded into
     the group, gsam_interface.py:166-185) -> duplicate/blacklist noun
     filtering. Groups whose indices would fall outside the [1,
     max_length-2] attention-map range are dropped (the reference's
-    fixed 77-position maps)."""
-    pairs = extract_attribution_pairs(prompt)
+    fixed 77-position maps). `doc` overrides the parser (see
+    extract_attribution_pairs)."""
+    pairs = extract_attribution_pairs(prompt, doc=doc)
     aligned = align_indices(prompt, pairs, tokenizer)
     idx_to_wp = get_attention_map_index_to_wordpiece(tokenizer, prompt)
 

@@ -165,6 +165,11 @@ def parse_args(argv=None):
     p.add_argument("--precomputed_masks", type=str, default=None,
                    help=".npz of per-noun masks for attribute "
                         "concentration (offline segmentation)")
+    p.add_argument("--parse_cache", type=str, default=None,
+                   help="jsonl dependency-parse cache exported by "
+                        "tools/parse_stats export on a spacy-equipped "
+                        "host (en_core_web_trf, the reference's "
+                        "parser); parse_prompt consumes it verbatim")
     p.add_argument("--mesh_model_axis", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="jax.profiler trace output dir")

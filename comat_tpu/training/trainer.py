@@ -389,6 +389,20 @@ class Trainer:
             )
             from comat_tpu.training.attrcon import make_attrcon_extra_losses
 
+            # Real en_core_web_trf parses, when a spacy host exported
+            # them (tools/parse_stats export): parse_prompt then
+            # consumes the cache verbatim instead of miniparse.
+            cache_path = getattr(args, "parse_cache", None)
+            if cache_path:
+                from comat_tpu.text.parse_cache import (
+                    load_parse_cache, set_parse_cache,
+                )
+
+                set_parse_cache(load_parse_cache(cache_path))
+                self.logger.info(
+                    "parse cache armed: %s", cache_path
+                )
+
             seg_path = getattr(args, "precomputed_masks", None)
             if seg_path:
                 segmenter = PrecomputedMaskSegmenter(seg_path)
