@@ -1,16 +1,33 @@
-"""Alignment evaluation harness.
+"""Alignment + quality evaluation harness.
 
-The reference reports T2I-CompBench / TIFA / FID numbers only in the
-paper (BASELINE.md: none reproduced in the repo). This harness covers
-the part that is self-contained: generate images for an evaluation
-prompt set and score text-image alignment with the (frozen) BLIP
-captioner reward — the same signal CoMat optimizes, measured on held-out
-prompts. External metric suites (T2I-CompBench scorers) plug in where
-real weights/corpora exist.
+Two metric families (select with --metric, default both):
+
+  blip_reward — generate images for held-out prompts and score with the
+    (frozen) BLIP captioner reward: the signal CoMat optimizes,
+    measured out-of-sample. Cannot detect reward hacking.
+  bvqa_binding — the T2I-CompBench attribute-binding pattern (the
+    paper's quality metric — reference README.md:3): decompose each
+    prompt into its attribute-noun groups (the same linguistics
+    extraction the attrcon loss uses), ask BLIP-VQA one yes/no question
+    per group ("<attributes> <noun>?"), and score
+
+        binding(prompt) = prod_groups P(yes | image, question)
+
+    (geometric pooling over sub-questions; per-group probabilities and
+    the arithmetic mean are also recorded). Because the scorer is an
+    INDEPENDENT frozen VQA model — not the reward captioner — a reward-
+    hacked generator scores low here while blip_reward stays high.
+
+Real weights gate (smoke-gate discipline): non-tiny bvqa runs require
+--vqa-model-path (a Salesforce/blip-vqa-base snapshot); without it the
+metric is skipped with a clear message unless --allow-smoke forces
+random weights (meaningless numbers, plumbing-only). Tiny geometry runs
+everything with random weights in CI.
 
 Outputs one JSON line per prompt plus a summary:
-    {"prompt": ..., "blip_reward": ...}
-    {"mean_blip_reward": ..., "n": ...}
+    {"prompt": ..., "blip_reward": ..., "bvqa_binding": ...,
+     "bvqa_questions": [...], "bvqa_p_yes": [...]}
+    {"mean_blip_reward": ..., "mean_bvqa_binding": ..., "n": ...}
 """
 
 from __future__ import annotations
@@ -35,7 +52,122 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tokenizer-dir", default=None)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--metric", default="both",
+                   choices=("blip_reward", "bvqa_binding", "both"))
+    p.add_argument("--vqa-model-path", default=None,
+                   help="Salesforce/blip-vqa-base snapshot dir "
+                        "(safetensors) for the binding scorer")
+    p.add_argument("--vqa-tokenizer-vocab", default=None,
+                   help="bert vocab.txt for the VQA question tokenizer")
+    p.add_argument("--allow-smoke", action="store_true",
+                   help="permit random VQA weights in non-tiny runs "
+                        "(plumbing smoke only; numbers meaningless)")
+    p.add_argument("--max-questions", type=int, default=4,
+                   help="attribute groups scored per prompt")
     return p.parse_args(argv)
+
+
+def make_bvqa_scorer(args, blip_cfg):
+    """Returns (score_fn(images_f32, prompts) -> list of per-prompt
+    dicts) or None with a printed skip reason. Questions come from
+    linguistics.extract_attribute_groups (the attrcon extraction);
+    scoring is BLIP-VQA yes/no answer ranking (models/blip_vqa.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from comat_tpu.models.blip_vqa import (
+        BLIPVQA, build_answer_batch, encode_fixed,
+    )
+    from comat_tpu.text.linguistics import extract_attribute_groups
+    from comat_tpu.text.tokenizer import (
+        BertWordPieceTokenizer, HashTokenizer,
+    )
+
+    if not args.tiny and not args.vqa_model_path:
+        if not args.allow_smoke:
+            print(json.dumps({
+                "bvqa_binding": "SKIPPED",
+                "reason": "no --vqa-model-path (Salesforce/"
+                          "blip-vqa-base snapshot) and not "
+                          "--allow-smoke: random-weight VQA scores "
+                          "are meaningless",
+            }))
+            return None
+        print(json.dumps({"bvqa_binding_warning":
+                          "--allow-smoke: random VQA weights"}))
+
+    vqa = BLIPVQA(blip_cfg)
+    rng = jax.random.PRNGKey(args.seed + 11)
+    Sq, Sa, W = 16, 8, args.max_questions
+    H = blip_cfg.image_size
+    init = vqa.init(
+        rng, jnp.zeros((1, H, H, 3)),
+        jnp.zeros((1, Sq), jnp.int32), jnp.ones((1, Sq), jnp.int32),
+        jnp.zeros((1, Sa), jnp.int32), jnp.zeros((1, Sa), jnp.int32),
+        jnp.zeros((1, Sa), jnp.int32), jnp.zeros((1, Sa), jnp.int32),
+    )
+    if args.vqa_model_path:
+        from comat_tpu.models.hf_import import load_blip_vqa_params
+
+        init = load_blip_vqa_params(args.vqa_model_path, init)
+
+    if args.vqa_tokenizer_vocab and os.path.isfile(
+        args.vqa_tokenizer_vocab
+    ):
+        q_tok = BertWordPieceTokenizer(args.vqa_tokenizer_vocab)
+    else:
+        q_tok = HashTokenizer(blip_cfg.vocab_size)
+    # CLIP-side tokenizer only drives group extraction token indices
+    from comat_tpu.text.tokenizer import load_clip_tokenizer
+
+    g_tok = (HashTokenizer(49408) if args.tiny
+             else load_clip_tokenizer(args.tokenizer_dir))
+
+    yes_ids, yes_labels = build_answer_batch(q_tok, ["yes"], 1, Sa)
+    no_ids, no_labels = build_answer_batch(q_tok, ["no"], 1, Sa)
+
+    @jax.jit
+    def p_yes(params, img, q_ids, q_mask):
+        """img (H,W,3); q_ids/q_mask (W, Sq) — one row per question."""
+        Wn = q_ids.shape[0]
+        pix = jnp.broadcast_to(img[None], (Wn,) + img.shape)
+        return vqa.apply(
+            params, pix, q_ids, q_mask,
+            jnp.broadcast_to(jnp.asarray(yes_ids), (Wn, Sa)),
+            jnp.broadcast_to(jnp.asarray(yes_labels), (Wn, Sa)),
+            jnp.broadcast_to(jnp.asarray(no_ids), (Wn, Sa)),
+            jnp.broadcast_to(jnp.asarray(no_labels), (Wn, Sa)),
+        )
+
+    def score(images, prompts):
+        from comat_tpu.losses.caption_reward import blip_preprocess
+
+        out = []
+        imgs = np.asarray(images, np.float32)
+        for img, prompt in zip(imgs, prompts):
+            groups = extract_attribute_groups(prompt, g_tok)[:W]
+            questions = [
+                " ".join(g.attribute_words + [g.noun]) + "?"
+                for g in groups
+            ] or [prompt + "?"]  # no groups: whole prompt (T2I style)
+            q_ids, q_mask = encode_fixed(q_tok, questions, Sq)
+            # resize + CLIP-normalize (BLIP preprocessing contract)
+            im = blip_preprocess(
+                jnp.asarray(img)[None], size=H
+            )[0]
+            probs = np.asarray(p_yes(
+                init, im, jnp.asarray(q_ids), jnp.asarray(q_mask),
+            ), np.float32)
+            out.append({
+                "bvqa_questions": questions,
+                "bvqa_p_yes": [round(float(x), 6) for x in probs],
+                "bvqa_binding": float(np.prod(probs)),
+                "bvqa_mean_p_yes": float(np.mean(probs)),
+            })
+        return out
+
+    return score
 
 
 def main(argv=None):
@@ -87,6 +219,12 @@ def main(argv=None):
     B = args.batch_size
     out_f = open(args.out, "w") if args.out else None
     rewards = []
+    bindings = []
+
+    bvqa = None
+    if args.metric in ("bvqa_binding", "both"):
+        bcfg = BLIPConfig.tiny() if args.tiny else BLIPConfig.large()
+        bvqa = make_bvqa_scorer(args, bcfg)
 
     @jax.jit
     def gen_and_score(params, blip_params, input_ids, eos, null_ids,
@@ -103,7 +241,7 @@ def main(argv=None):
                 lab_i[None],
             )
 
-        return jax.vmap(one)(img, cap_ids, cap_mask, cap_labels)
+        return img, jax.vmap(one)(img, cap_ids, cap_mask, cap_labels)
 
     S = 48
     for i in range(0, len(prompts), B):
@@ -116,7 +254,7 @@ def main(argv=None):
             a, ((0, 0), (0, max(S - a.shape[1], 0))), constant_values=v
         )[:, :S]
         rng, sub = jax.random.split(rng)
-        r = gen_and_score(
+        img, r = gen_and_score(
             params, blip_params,
             jnp.asarray(enc["input_ids"]),
             jnp.asarray(enc["eos_positions"]),
@@ -127,16 +265,26 @@ def main(argv=None):
             sub,
         )
         r = np.asarray(r, np.float32).ravel()
-        for p, ri in zip(chunk, r[: len(chunk)]):
-            rewards.append(float(ri))
-            line = json.dumps({"prompt": p, "blip_reward": float(ri)})
+        bvqa_rows = bvqa(img[: len(chunk)], chunk) if bvqa else None
+        for j, (p, ri) in enumerate(zip(chunk, r[: len(chunk)])):
+            rec = {"prompt": p}
+            if args.metric in ("blip_reward", "both"):
+                rewards.append(float(ri))
+                rec["blip_reward"] = float(ri)
+            if bvqa_rows:
+                rec.update(bvqa_rows[j])
+                bindings.append(rec["bvqa_binding"])
+            line = json.dumps(rec)
             print(line)
             if out_f:
                 out_f.write(line + "\n")
 
-    summary = json.dumps(
-        {"mean_blip_reward": float(np.mean(rewards)), "n": len(rewards)}
-    )
+    summary_rec = {"n": max(len(rewards), len(bindings))}
+    if rewards:
+        summary_rec["mean_blip_reward"] = float(np.mean(rewards))
+    if bindings:
+        summary_rec["mean_bvqa_binding"] = float(np.mean(bindings))
+    summary = json.dumps(summary_rec)
     print(summary)
     if out_f:
         out_f.write(summary + "\n")

@@ -119,9 +119,14 @@ def test_evaluate_cli_tiny(tmp_path):
     ])
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert len(lines) == 4  # 3 prompts + summary
-    assert {"prompt", "blip_reward"} <= set(lines[0])
+    # default --metric both: reward + T2I-CompBench-style binding
+    assert {"prompt", "blip_reward", "bvqa_binding",
+            "bvqa_questions", "bvqa_p_yes"} <= set(lines[0])
+    assert lines[0]["bvqa_questions"], "no question for 'a red car'"
+    assert all(0.0 <= p <= 1.0 for p in lines[0]["bvqa_p_yes"])
     assert lines[-1]["n"] == 3
     assert np.isfinite(lines[-1]["mean_blip_reward"])
+    assert 0.0 <= lines[-1]["mean_bvqa_binding"] <= 1.0
 
 
 @pytest.mark.slow
@@ -132,11 +137,14 @@ def test_parity_synthetic_tier():
     from comat_tpu.tools import parity
 
     parity._RESULTS.clear()
-    rc = parity.main(["--platform", "cpu"])
+    # --skip-twin: the step-loss twin fixture has its own dedicated
+    # (and much heavier) test in test_step_loss_fixture.py
+    rc = parity.main(["--platform", "cpu", "--skip-twin"])
     assert rc == 0, parity._RESULTS
     status = {name: st for name, st, _ in parity._RESULTS}
     for check in (
         "clip_torch_parity", "blip_torch_parity",
+        "blip_vqa_torch_parity",
         "unet_converter_roundtrip", "vae_converter_roundtrip",
         "clip_converter_roundtrip",
     ):
