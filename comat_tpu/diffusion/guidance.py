@@ -41,6 +41,7 @@ def make_cfg_eps_model(
     guidance_rescale: float = 0.0,
     added_cond: Optional[Dict[str, jnp.ndarray]] = None,
     null_added_cond: Optional[Dict[str, jnp.ndarray]] = None,
+    capture_dtype: jnp.dtype = jnp.bfloat16,
 ) -> Callable:
     """Returns eps_model(latents, t, capture) -> (guided_eps, captured).
 
@@ -48,20 +49,22 @@ def make_cfg_eps_model(
     (eps, captured). With CFG, the UNet runs once on the [uncond; cond]
     2B batch (reference order: TrainableSDPipeline.py:92,135,156 —
     uncond first). Captured attention maps are reduced to the COND half
-    and bf16 at the source (the reference captures cond-only by
-    splitting the call — AttrConcenTrainableSDPipeline.py:239-279 —
-    and its fp16 autocast materializes half-precision probs anyway);
-    done here, the uncond half never reaches the sampler's scan stack,
-    quartering capture HBM traffic. Gradients to the grounding loss
-    flow through the bf16 cast unchanged in structure.
+    and `capture_dtype` at the source (the reference captures cond-only
+    by splitting the call — AttrConcenTrainableSDPipeline.py:239-279).
+    Callers pass the UNet's compute dtype: bf16 in production (the
+    reference's fp16 autocast materializes half-precision probs anyway),
+    quartering capture HBM traffic; fp32 in the tiny fixture geometry so
+    the step-loss twin comparison stays exact. Done here, the uncond
+    half never reaches the sampler's scan stack. Gradients to the
+    grounding loss flow through the cast unchanged in structure.
     """
     do_cfg = null_context is not None and guidance_scale > 1.0
 
-    def _cond_half_bf16(captured, B):
+    def _cond_half_cast(captured, B):
         if not captured:
             return captured
         return jax.tree_util.tree_map(
-            lambda a: a[B:].astype(jnp.bfloat16), captured
+            lambda a: a[B:].astype(capture_dtype), captured
         )
 
     def eps_model(latents, t, capture=False):
@@ -70,7 +73,7 @@ def make_cfg_eps_model(
             eps, captured = unet_apply(latents, t, context, added_cond, capture)
             if capture:
                 captured = jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16), captured
+                    lambda a: a.astype(capture_dtype), captured
                 )
             return eps, captured
         lat2 = jnp.concatenate([latents, latents], axis=0)
@@ -84,7 +87,7 @@ def make_cfg_eps_model(
             }
         eps2, captured = unet_apply(lat2, t, ctx2, ac2, capture)
         if capture:
-            captured = _cond_half_bf16(captured, B)
+            captured = _cond_half_cast(captured, B)
         eps_uncond, eps_text = eps2[:B], eps2[B:]
         eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
         if guidance_rescale > 0.0:

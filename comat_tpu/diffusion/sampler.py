@@ -21,11 +21,15 @@ TPU-first two-pass design (instead of translating grad-mode toggles):
   eps per step and the latent entering each step.
 
   PASS 2 (differentiable replay): `lax.scan` over the K trained
-  segments. Each segment runs ONE remat'd differentiable UNet call at
-  its trained step (optionally with attention capture), then replays the
-  following `interval-1` scheduler steps with the saved (constant) eps
-  — pure affine arithmetic, which is exact because the DDPM step is
-  affine in (x, eps, noise) (tested in test_schedulers.py).
+  segments. Each segment runs ONE differentiable UNet call at its
+  trained step (cached-primal: free forward, VJP-on-demand), then
+  replays the following `interval-1` scheduler steps with the saved
+  (constant) eps — pure affine arithmetic, which is exact because the
+  DDPM step is affine in (x, eps, noise) (tested in
+  test_schedulers.py). The scan also emits each segment's entry latent;
+  attention capture (attrcon) happens AFTER the scan, only at the A
+  chosen segments, on their gathered entry latents — matching the
+  reference, which captures only at the attrcon steps.
 
 This matches the reference's gradient structure exactly while paying
 K extra UNet forwards (~10% of the 50-step budget) instead of the ~2x
@@ -54,7 +58,8 @@ from comat_tpu.diffusion.schedulers import (
 
 class SampleResult(NamedTuple):
     latents: jnp.ndarray          # (B, h, w, 4) final, differentiable
-    captured: Dict[str, Any]      # key -> (K, B|2B, heads, HW, L) fp32
+    captured: Dict[str, Any]      # key -> list of (A, B, heads, HW, 77)
+                                  # bf16 (cond half; A = len(capture_idx))
     eps_table: jnp.ndarray        # (S, B, h, w, 4) guided eps (constant)
     latents_traj: jnp.ndarray     # (S, B, h, w, 4) pass-1 inputs (constant)
 
@@ -141,47 +146,50 @@ def _make_cached_primal_eps(diff_eps_model: Callable):
     return op
 
 
-def _make_cached_capture_eps(diff_capture_vjp: Callable,
-                             diff_capture_primal: Callable):
-    """Cached-primal guided-eps op for CAPTURE segments (attrcon).
+def _make_capture_only(diff_capture_primal: Callable):
+    """Capture-only op for the attrcon segments.
 
     Captured attention probabilities are genuine primal outputs (the
-    grounding loss consumes and differentiates through them), so unlike
-    `_make_cached_primal_eps` the primal cannot be free — but it only
-    needs the cond-half capture forward (`diff_capture_primal`, batch B:
-    attention is per-sample, so the cond half of the CFG batch computes
-    identical maps at half the cost); the eps output still reuses
-    pass 1's cached value. The VJP differentiates the FULL guided
-    capture forward (`diff_capture_vjp` -> (eps, captured)) w.r.t.
-    (diff_tree, x) jointly, at the same point — grounding-loss
-    cotangents enter through the captured maps, downstream cotangents
-    through eps, and frozen towers (aux_tree) get symbolic zeros.
+    grounding loss consumes and differentiates through them), but the
+    segment chain's eps already comes from `_make_cached_primal_eps` —
+    so the capture op computes ONLY the maps: a cond-half capture
+    forward (batch B, not the 2B CFG batch: attention is per-sample, so
+    the cond half computes the exact maps the reference's split capture
+    call produces — AttrConcenTrainableSDPipeline.py:239-279 — at half
+    the cost). The VJP re-runs that cond-half forward and pulls the
+    grounding-loss cotangents back into (diff_tree, x) — self-remat:
+    no residuals are held across capture calls, and frozen towers
+    (aux_tree) get symbolic zeros.
 
-    This keeps the attrcon recipe on the cached-primal replay: the old
-    fallback (a remat'd eps_model closing over the MERGED params inside
-    the segment scan) made XLA accumulate cotangents for every frozen
-    UNet weight across the K segments — measured at ~6.4s of the
-    full-recipe step on a v5e, vs ~0.9s for the cached replay.
+    Decoupling capture from the eps chain is exact: the total gradient
+    sum_paths dL/dtheta splits linearly into the eps path (handled by
+    the cached-eps op's VJP of the fused-attention guided forward) and
+    the maps path (handled here); both VJPs evaluate at the same point.
+    It is also what lets capture run at the A=2 attrcon-chosen segments
+    only, instead of all K=5 (the reference captures only at
+    `attrcon_train_steps` — AttrConcenTrainableSDPipeline.py:159-167;
+    capturing at all K and masking was measured as the dominant share
+    of a 6.2s/step attrcon tax).
     """
 
     @jax.custom_vjp
-    def op(diff_tree, aux_tree, x, t, cached_eps):
-        return cached_eps, diff_capture_primal(diff_tree, aux_tree, x, t)
+    def op(diff_tree, aux_tree, x, t):
+        return diff_capture_primal(diff_tree, aux_tree, x, t)
 
-    def fwd(diff_tree, aux_tree, x, t, cached_eps):
-        out = (cached_eps, diff_capture_primal(diff_tree, aux_tree, x, t))
-        return out, (diff_tree, aux_tree, x, t)
+    def fwd(diff_tree, aux_tree, x, t):
+        return diff_capture_primal(diff_tree, aux_tree, x, t), (
+            diff_tree, aux_tree, x, t,
+        )
 
     def bwd(res, g):
         diff_tree, aux_tree, x, t = res
-        g_eps, g_cap = g
         _, vjp = jax.vjp(
-            lambda d, xx: diff_capture_vjp(d, aux_tree, xx, t),
+            lambda d, xx: diff_capture_primal(d, aux_tree, xx, t),
             diff_tree, x,
         )
-        d_diff, d_x = vjp((g_eps, g_cap))
+        d_diff, d_x = vjp(g)
         d_aux = jax.tree_util.tree_map(_zero_cotangent, aux_tree)
-        return d_diff, d_aux, d_x, _zero_cotangent(t), jnp.zeros_like(g_eps)
+        return d_diff, d_aux, d_x, _zero_cotangent(t)
 
     op.defvjp(fwd, bwd)
     return op
@@ -201,9 +209,9 @@ def sample_comat(
     diff_eps_model: Optional[Callable] = None,
     diff_tree: Any = None,
     aux_tree: Any = None,
-    diff_capture_vjp: Optional[Callable] = None,
     diff_capture_primal: Optional[Callable] = None,
     presampled: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    capture_idx: Optional[jnp.ndarray] = None,
 ) -> SampleResult:
     """Full two-pass CoMat sampling. Differentiable through the K
     trained steps only (see module docstring).
@@ -211,10 +219,19 @@ def sample_comat(
     With `diff_eps_model(diff_tree, aux_tree, x, t) -> eps` given, the
     replay uses cached-primal segments: pass 1's eps is the primal and
     the segment forward costs nothing (see _make_cached_primal_eps).
-    With capture=True, also pass `diff_capture_vjp(d, aux, x, t) ->
-    (eps, captured)` and `diff_capture_primal(d, aux, x, t) -> captured`
-    to stay on the cached replay (see _make_cached_capture_eps);
-    otherwise capture falls back to remat'd full-forward segments.
+
+    capture=True: attention maps are captured at the `capture_idx`
+    (A,)-indexed subset of the K segments ONLY (default: all K), after
+    the replay scan — each captured segment gathers its differentiable
+    entry latent from the scan's outputs and runs one capture-only
+    forward (see _make_capture_only; cond-half batch). This mirrors the
+    reference, which captures only at the `attrcon_train_steps` chosen
+    steps (AttrConcenTrainableSDPipeline.py:159-167). Captured leaves
+    have leading dim A. Grounding-loss cotangents flow through the
+    gathered entry latents back into the segment chain, exactly like
+    the reference's attn-map gradients. With `diff_capture_primal`
+    absent, capture falls back to remat'd eps_model(…, capture=True)
+    calls at the same A gathered latents.
 
     `presampled=(eps_table, latents_traj)`: pass 1 already ran in a
     separate no-grad program (the trainer's presample step, needed when
@@ -238,40 +255,30 @@ def sample_comat(
             coeffs, latents0, rng,
         )
 
-    use_cached_primal = diff_eps_model is not None and (
-        not capture or diff_capture_primal is not None
-    )
+    use_cached_primal = diff_eps_model is not None
     if use_cached_primal:
         cached_eps_op = _make_cached_primal_eps(diff_eps_model)
-        if capture:
-            cached_cap_op = _make_cached_capture_eps(
-                diff_capture_vjp, diff_capture_primal
-            )
 
     # ---- pass 2: differentiable replay ----
     # Cached-primal path: no remat needed — the custom VJP recomputes
-    # the segment forward inside its own backward. Fallback (capture)
-    # path: full remat per trained-step UNet call, keeping residency at
-    # one step's activations. (A dots_saveable policy was measured to
-    # need 45GB HBM across the K-segment scan — XLA keeps all segments'
-    # saved dots live.)
+    # the segment forward inside its own backward. Fallback path: full
+    # remat per trained-step UNet call, keeping residency at one step's
+    # activations. (A dots_saveable policy was measured to need 45GB
+    # HBM across the K-segment scan — XLA keeps all segments' saved
+    # dots live.)
     unet_step = jax.checkpoint(
-        lambda x, t: eps_model(x, t, capture),
+        lambda x, t: eps_model(x, t, False)[0],
     )
 
     def segment(x, p):
+        entry = x  # differentiable segment-entry latent (capture input)
         # differentiable UNet call at trained position p
-        if use_cached_primal and capture:
-            eps, captured = cached_cap_op(
-                diff_tree, aux_tree, x, coeffs.timesteps[p], eps_table[p]
-            )
-        elif use_cached_primal:
+        if use_cached_primal:
             eps = cached_eps_op(
                 diff_tree, aux_tree, x, coeffs.timesteps[p], eps_table[p]
             )
-            captured = {}
         else:
-            eps, captured = unet_step(x, coeffs.timesteps[p])
+            eps = unet_step(x, coeffs.timesteps[p])
         noise = _step_noise(rng, p, x.shape, jnp.float32)
         x, _ = ddpm_step_from_coeffs(coeffs, p, x, eps, noise)
 
@@ -287,12 +294,39 @@ def sample_comat(
 
         if interval > 1:
             x, _ = jax.lax.scan(replay, x, jnp.arange(1, interval))
-        return x, captured
+        return x, entry
 
     x0_entry = traj[trained_idx[0]]
-    x_final, captured = jax.lax.scan(segment, x0_entry, trained_idx)
+    x_final, entry_lat = jax.lax.scan(segment, x0_entry, trained_idx)
     # Positions before the first trained step were consumed in pass 1
     # (no gradient dependence — reference :133 disables grads there).
+
+    # ---- capture at the A chosen segments ----
+    captured: Dict[str, Any] = {}
+    if capture:
+        if capture_idx is None:
+            capture_idx = jnp.arange(K)
+        A = capture_idx.shape[0]
+        if use_cached_primal and diff_capture_primal is not None:
+            cap_op = _make_capture_only(diff_capture_primal)
+        else:
+            cap_fallback = jax.checkpoint(
+                lambda x, t: eps_model(x, t, True)[1]
+            )
+            cap_op = None
+        caps = []
+        for a in range(A):  # A is static (attrcon_train_steps)
+            seg = capture_idx[a]
+            x_a = jnp.take(entry_lat, seg, axis=0)
+            t_a = coeffs.timesteps[jnp.take(trained_idx, seg)]
+            if cap_op is not None:
+                caps.append(cap_op(diff_tree, aux_tree, x_a, t_a))
+            else:
+                caps.append(cap_fallback(x_a, t_a))
+        if caps:
+            captured = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *caps
+            )
 
     # Tail: when interval*K < S and start > 0... the segments cover
     # [start, start+interval*K); replay any remaining positions up to

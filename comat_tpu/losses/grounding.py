@@ -106,10 +106,25 @@ def grounding_losses_for_layer(
     return token_loss, pixel_loss
 
 
+def dedup_draw_weights(draws: jnp.ndarray) -> jnp.ndarray:
+    """(A,) weights: 1.0 for the first occurrence of each drawn value,
+    0.0 for repeats. Reproduces the reference's with-replacement
+    `random.choices(training_steps, k=attrcon_train_steps)`
+    (training_script.py:590) whose duplicate draws COLLAPSE in the
+    timestep-keyed attn dict (AttrConcenTrainableSDPipeline.py:264) —
+    the loss sums over distinct chosen steps only."""
+    A = draws.shape[0]
+    earlier = jnp.tril(jnp.ones((A, A), bool), -1)         # j < a
+    dup = (draws[None, :] == draws[:, None]) & earlier      # [a, j]
+    return (~dup.any(axis=1)).astype(jnp.float32)
+
+
 def comat_grounding_loss(
-    captured: Dict[str, jnp.ndarray],   # key -> (K, B, heads, HW, 77)
-                                        # (cond-half bf16 from guidance)
-    step_mask: jnp.ndarray,             # (K,) float — attrcon-chosen steps
+    captured: Dict[str, jnp.ndarray],   # key -> list of
+                                        # (A, B, heads, HW, 77) bf16
+                                        # (cond half, one per captured
+                                        # attrcon segment)
+    draw_weights: jnp.ndarray,          # (A,) float — dedup weights
     masks: jnp.ndarray,                 # (B, W, H0, W0)
     token_idx: jnp.ndarray,
     token_valid: jnp.ndarray,
@@ -117,25 +132,26 @@ def comat_grounding_loss(
     cond_offset: int,                   # B (CFG batches are [uncond; cond])
     capture_layers,
 ):
-    """Total token/pixel losses over captured steps x layers, averaged
-    by batch size (gsam_interface.py:204-226). `captured[key]` holds a
-    list of per-layer-instance arrays stacked over the K trained steps;
-    `step_mask` selects the attrcon subset (the reference captures only
-    at `attrcon_train_steps` — AttrConcenTrainableSDPipeline.py:159-167
-    — we capture at all K and mask, keeping shapes static)."""
+    """Total token/pixel losses over the A captured attrcon segments x
+    layers, averaged by batch size (gsam_interface.py:204-226).
+    `captured[key]` holds a list of per-layer-instance arrays stacked
+    over the A capture segments (the reference captures only at the
+    attrcon steps — AttrConcenTrainableSDPipeline.py:159-167);
+    `draw_weights` collapses with-replacement duplicate draws (see
+    dedup_draw_weights)."""
     B = masks.shape[0]
     token_total = jnp.zeros((), jnp.float32)
     pixel_total = jnp.zeros((), jnp.float32)
-    K = step_mask.shape[0]
+    A = draw_weights.shape[0]
     for key in capture_layers:
         if key not in captured:
             continue
-        layer_list = captured[key]  # list of (K, B2, heads, HW, 77)
-        for k in range(K):
-            maps = [a[k][cond_offset:] for a in layer_list]
+        layer_list = captured[key]  # list of (A, B2, heads, HW, 77)
+        for a in range(A):
+            maps = [m[a][cond_offset:] for m in layer_list]
             tl, pl = grounding_losses_for_layer(
                 maps, masks, token_idx, token_valid, word_valid
             )
-            token_total = token_total + step_mask[k] * tl.sum()
-            pixel_total = pixel_total + step_mask[k] * pl.sum()
+            token_total = token_total + draw_weights[a] * tl.sum()
+            pixel_total = pixel_total + draw_weights[a] * pl.sum()
     return token_total / B, pixel_total / B

@@ -349,6 +349,7 @@ class DiffusionPipeline:
         pass1_int8: bool = False,
         decode_chunk: Optional[int] = None,
         presampled: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        capture_idx: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, SampleResult]:
         """Differentiable online generation. Returns (image, result).
 
@@ -359,10 +360,12 @@ class DiffusionPipeline:
         training.train_step.partition_params), the replay pass runs
         cached-primal segments — pass 1's eps is reused as the primal
         and the segment VJP differentiates w.r.t. the trainable subtree
-        only (no cotangents for frozen towers). capture=True stays on
-        the cached replay: captured maps come from a cond-half primal
-        forward and the segment VJP covers (eps, captured) jointly
-        (sampler._make_cached_capture_eps).
+        only (no cotangents for frozen towers). capture=True captures
+        attention maps at the `capture_idx` segments only (default all
+        K) via post-scan cond-half capture forwards
+        (sampler._make_capture_only) — the reference captures only at
+        the attrcon-chosen steps
+        (AttrConcenTrainableSDPipeline.py:159-167).
         """
         cfg = self.cfg
         B = input_ids.shape[0]
@@ -380,6 +383,9 @@ class DiffusionPipeline:
         # Differentiable eps-model (pass 2): live params; fused Pallas
         # attention with its custom VJP (non-captured layers), XLA
         # attention on captured layers.
+        # Captured maps live in the UNet's compute dtype: bf16 in
+        # production, fp32 at tiny fixture geometry (exact twin checks).
+        cap_dtype = self.cfg.unet.dtype
         eps_model = make_cfg_eps_model(
             lambda lat, t, ctx, ac, cap: self.unet_apply(
                 params, lat, t, ctx, ac, cap, fast=True, remat=remat
@@ -390,6 +396,7 @@ class DiffusionPipeline:
             guidance_rescale,
             added,
             null_added,
+            capture_dtype=cap_dtype,
         )
         # Inference eps-model (pass 1): Pallas flash attention over
         # fully stop-gradient'd params — keeps the no-VJP kernel out of
@@ -433,7 +440,7 @@ class DiffusionPipeline:
         # with symbolic-zero cotangents: custom_vjp functions must not
         # close over traced values).
         diff_eps_model = diff_tree = aux_tree = None
-        diff_capture_vjp = diff_capture_primal = None
+        diff_capture_primal = None
         if trainable is not None:
             from comat_tpu.models.lora import merge_params
 
@@ -460,6 +467,7 @@ class DiffusionPipeline:
                     guidance_rescale,
                     d["added"],
                     d["null_added"],
+                    capture_dtype=cap_dtype,
                 )
 
             def diff_eps_model(d, aux, lat, t):
@@ -467,22 +475,21 @@ class DiffusionPipeline:
                 return eps
 
             if capture:
-                def diff_capture_vjp(d, aux, lat, t):
-                    return _diff_em(d, aux)(lat, t, True)
-
                 def diff_capture_primal(d, aux, lat, t):
                     # cond-half-only capture forward (batch B, vs the
                     # 2B CFG batch): attention maps are per-sample, so
-                    # this computes the exact values the VJP's guided
-                    # forward captures, at half the cost; the eps output
-                    # is discarded (the cached pass-1 eps is the primal)
+                    # this computes the exact values the reference's
+                    # split cond-half capture call produces
+                    # (AttrConcenTrainableSDPipeline.py:239-279); the
+                    # eps output is discarded (the segment chain's eps
+                    # comes from the cached pass-1 table)
                     p = merge_params(d["trainable"], aux["frozen"])
                     _, cap = self.unet_apply(
                         p, lat, t, d["context"], d["added"], True,
                         fast=True,
                     )
                     return jax.tree_util.tree_map(
-                        lambda a: a.astype(jnp.bfloat16), cap
+                        lambda a: a.astype(cap_dtype), cap
                     )
 
         coeffs = make_sampler_coeffs(
@@ -501,9 +508,9 @@ class DiffusionPipeline:
             eps_model, coeffs, latents0, rng, trained_idx, interval,
             capture=capture, eps_model_inference=eps_model_inf,
             diff_eps_model=diff_eps_model, diff_tree=diff_tree,
-            aux_tree=aux_tree, diff_capture_vjp=diff_capture_vjp,
+            aux_tree=aux_tree,
             diff_capture_primal=diff_capture_primal,
-            presampled=presampled,
+            presampled=presampled, capture_idx=capture_idx,
         )
         # Decoder per-block remat follows the memory-tight flag: the
         # recompute costs ~53ms/step at SD1.5 bs4 and is only needed

@@ -27,25 +27,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from comat_tpu.losses.grounding import comat_grounding_loss
+from comat_tpu.losses.grounding import comat_grounding_loss, dedup_draw_weights
 from comat_tpu.segmentation.interface import SegmenterHolder
 from comat_tpu.text.linguistics import extract_attribute_groups, pad_groups
 
 
+def sample_attrcon_draws(rng, cfg) -> jnp.ndarray:
+    """The (A,) with-replacement draws into the K trained segments
+    (reference training_script.py:590). Shared derivation: the train
+    step passes these to pipeline.forward as `capture_idx` (capture
+    runs ONLY at these segments) and the extra-losses hook re-derives
+    them bitwise from the same rng for the dedup weights."""
+    A = min(cfg.attrcon_train_steps, cfg.K)
+    return jax.random.randint(
+        jax.random.fold_in(rng, 0xA77C), (A,), 0, cfg.K
+    )
+
+
 def make_attrcon_extra_losses(pipeline, holder: SegmenterHolder, cfg):
     def extra(params, batch, image, result, rng):
-        K = cfg.K
-        A = min(cfg.attrcon_train_steps, K)
-        draws = jax.random.randint(
-            jax.random.fold_in(rng, 0xA77C), (A,), 0, K
-        )
-        step_mask = jnp.zeros((K,), jnp.float32).at[draws].set(1.0)
+        draws = sample_attrcon_draws(rng, cfg)
+        weights = dedup_draw_weights(draws)
         masks = jax.lax.stop_gradient(
             batch["seg_masks"].astype(jnp.float32)
         )
         token_loss, pixel_loss = comat_grounding_loss(
             result.captured,
-            step_mask,
+            weights,
             masks,
             batch["token_idx"],
             batch["token_valid"],

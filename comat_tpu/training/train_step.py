@@ -331,6 +331,17 @@ def make_train_step(
         if "eps_table" in batch:
             presampled = (batch["eps_table"], batch["latents_traj"])
 
+        # Attrcon: capture attention only at the A chosen segments
+        # (reference: random.choices(training_steps, k=A) —
+        # training_script.py:590; capture happens only there,
+        # AttrConcenTrainableSDPipeline.py:159-167). The extra-losses
+        # hook re-derives the same draws from `rng` for dedup weights.
+        capture_idx = None
+        if cfg.attrcon:
+            from comat_tpu.training.attrcon import sample_attrcon_draws
+
+            capture_idx = sample_attrcon_draws(rng, cfg)
+
         image, result = pipeline.forward(
             params,
             rngs[1],
@@ -358,6 +369,7 @@ def make_train_step(
             fuse_pass1=not cfg.gradient_checkpointing,
             pass1_int8=cfg.pass1_int8,
             presampled=presampled,
+            capture_idx=capture_idx,
         )
 
         # ---- reward-gradient tap (training_script.py:644-651) ----

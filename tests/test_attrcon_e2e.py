@@ -60,15 +60,15 @@ def test_attrcon_train_step():
 
 
 def test_cached_capture_pipeline_matches_fallback():
-    """Pipeline-level guard for the cached-primal CAPTURE replay: with a
+    """Pipeline-level guard for the cached-primal CAPTURE path: with a
     (trainable, frozen) partition, forward(capture=True) runs
-    sampler._make_cached_capture_eps (cond-half capture primal + joint
-    (eps, captured) VJP); without the partition it takes the remat'd
-    full-forward fallback. Values and LoRA gradients must agree through
-    the real tiny UNet, with cotangents entering through BOTH the
-    captured maps (grounding path) and the image (reward path).
-    fuse_pass1=False so pass 1 computes eps with the same unfused
-    arithmetic the fallback's segment recompute uses."""
+    sampler._make_capture_only (cond-half capture forwards on gathered
+    segment-entry latents); without the partition it takes the remat'd
+    fallback. Values and LoRA gradients must agree through the real
+    tiny UNet, with cotangents entering through BOTH the captured maps
+    (grounding path) and the image (reward path). fuse_pass1=False so
+    pass 1 computes eps with the same unfused arithmetic the fallback's
+    segment recompute uses."""
     import dataclasses
 
     from comat_tpu.training.train_step import merge_params, partition_params

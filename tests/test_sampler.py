@@ -175,20 +175,16 @@ def test_cached_primal_matches_plain_path(setup, start):
 
 @pytest.mark.parametrize("start", [0, 2])
 def test_cached_capture_matches_plain_capture_path(setup, start):
-    """The cached-primal CAPTURE replay (diff_capture_vjp/_primal) must
-    match the remat fallback in values AND gradients, with cotangents
-    entering through BOTH the captured maps (grounding-loss path) and
-    the final latents (reward/GAN path)."""
+    """The cached-primal CAPTURE path (_make_capture_only on gathered
+    entry latents) must match the remat fallback in values AND
+    gradients, with cotangents entering through BOTH the captured maps
+    (grounding-loss path) and the final latents (reward/GAN path)."""
     coeffs, w, x0, rng = setup
     trained = jnp.arange(start, start + K * INTERVAL, INTERVAL)
 
-    def diff_capture_vjp(d, aux, x, t):
-        eps, cap = _make_eps_model(d["w"])(x, t, True)
-        return eps + 0.0 * aux["c"], cap
-
     def diff_capture_primal(d, aux, x, t):
         _, cap = _make_eps_model(d["w"])(x, t, True)
-        return cap
+        return jax.tree_util.tree_map(lambda a: a + 0.0 * aux["c"], cap)
 
     def diff_eps_model(d, aux, x, t):
         eps, _ = _make_eps_model(d["w"])(x, t, False)
@@ -203,7 +199,6 @@ def test_cached_capture_matches_plain_capture_path(setup, start):
             capture=True,
             diff_eps_model=diff_eps_model, diff_tree={"w": w_},
             aux_tree={"c": jnp.zeros(())},
-            diff_capture_vjp=diff_capture_vjp,
             diff_capture_primal=diff_capture_primal,
         )
         return combined_loss(res)
@@ -220,6 +215,73 @@ def test_cached_capture_matches_plain_capture_path(setup, start):
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-8
+    )
+    assert float(jnp.abs(g1).sum()) > 0
+
+
+@pytest.mark.parametrize("cap_segments", [(0, 2), (1, 1)])
+def test_capture_idx_subset_matches_unrolled_reference(setup, cap_segments):
+    """capture_idx: maps are captured ONLY at the chosen A segments
+    (leading dim A), and the joint gradient (latents-loss + probe-loss
+    at the chosen steps) matches an unrolled loop with the reference's
+    semantics — capture at the attrcon-chosen trained steps only
+    (AttrConcenTrainableSDPipeline.py:159-167). The (1, 1) case checks
+    duplicate draws: the unrolled reference's timestep-keyed dict
+    collapses them, mirrored by dedup weights."""
+    from comat_tpu.losses.grounding import dedup_draw_weights
+
+    coeffs, w, x0, rng = setup
+    start = 1
+    trained = jnp.arange(start, start + K * INTERVAL, INTERVAL)
+    cap_idx = jnp.asarray(cap_segments)
+    weights = dedup_draw_weights(cap_idx)
+
+    def diff_capture_primal(d, aux, x, t):
+        _, cap = _make_eps_model(d["w"])(x, t, True)
+        return jax.tree_util.tree_map(lambda a: a + 0.0 * aux["c"], cap)
+
+    def diff_eps_model(d, aux, x, t):
+        eps, _ = _make_eps_model(d["w"])(x, t, False)
+        return eps + 0.0 * aux["c"]
+
+    def loss_twopass(w_):
+        res = sample_comat(
+            _make_eps_model(w_), coeffs, x0, rng, trained, INTERVAL,
+            capture=True,
+            diff_eps_model=diff_eps_model, diff_tree={"w": w_},
+            aux_tree={"c": jnp.zeros(())},
+            diff_capture_primal=diff_capture_primal,
+            capture_idx=cap_idx,
+        )
+        assert res.captured["probe"].shape == (len(cap_segments), 2)
+        probe = (weights[:, None] * res.captured["probe"]).sum()
+        return (res.latents ** 2).mean() + 0.1 * probe
+
+    def loss_ref(w_):
+        """Unrolled loop: probes taken at the distinct chosen trained
+        steps (dict-collapse semantics)."""
+        eps_model = _make_eps_model(w_)
+        cap_steps = {start + INTERVAL * int(c) for c in cap_segments}
+        trained_set = set(int(t) for t in trained)
+        x = x0
+        probe = 0.0
+        for i in range(S):
+            eps, cap = eps_model(x, coeffs.timesteps[i], i in cap_steps)
+            if i in cap_steps:
+                probe = probe + cap["probe"].sum()
+            if i not in trained_set:
+                eps = jax.lax.stop_gradient(eps)
+            noise = _step_noise(rng, jnp.asarray(i), x.shape, jnp.float32)
+            x, _ = ddpm_step_from_coeffs(
+                coeffs, jnp.asarray(i), x, eps, noise
+            )
+        return (x ** 2).mean() + 0.1 * probe
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss_twopass))(w)
+    v2, g2 = jax.value_and_grad(loss_ref)(w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=1e-6
     )
     assert float(jnp.abs(g1).sum()) > 0
 
