@@ -1,0 +1,356 @@
+"""The step-loss north-star fixture: JAX stack vs the independent
+torch twin, fp32, tiny geometry, seeded — asserting the BASELINE.json
+"SD1.5 CoMat step-loss parity within 1e-3" target with an
+implementation-independent cross-check of the diffusion backbone
+(UNet2DCondition / VAE decoder / DDPM scheduler — the largest numerics
+surface) plus the full loss assembly.
+
+Method (the same twin method that validated CLIP/BLIP/GDINO/FastSAM):
+
+  1. Build torch-side models with seeded random weights: HF
+     transformers CLIPTextModel + BlipForConditionalGeneration
+     (independent implementations) and the TwinUNet/TwinVAEDecoder of
+     tools/torch_twin_sd15.py (written against diffusers' documented
+     semantics, state-dict-name compatible).
+  2. Convert every state dict into the JAX modules through
+     models/hf_import's converters (strict: unmapped leaves fail).
+  3. Generate ALL stochastic inputs once with the jax PRNG, replicating
+     training.train_step.loss_fn's derivation exactly (fold_in on
+     step, split(4), capture draws at fold_in 0xA77C, the sampler's
+     internal split) and hand them to the twin as numpy.
+  4. Run the REAL jitted train step (make_train_step) on the JAX side;
+     run comat_step_loss_torch on the twin side; compare step_loss.
+
+Segmentation masks are 64px-aligned quadrants (not CenterPrior's
+arbitrary rectangles): aligned box edges survive the bilinear+antialias
+downsize to every loss resolution exactly, so the `> 0` binarization
+(attn_utils/tc_loss_utils.py:88-98) cannot diverge between torch and
+jax antialias kernels at sub-ULP boundary values.
+
+Reference semantics being validated: TrainableSDPipeline.py:132-185
+(denoise loop), :219-223 (decode), training_script.py:592-664 (loss
+assembly), training_utils/pipeline.py:50-59 (DDPM fixed_small).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+TOL = 1e-3
+FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    ))),
+    "fixtures", "step_loss_sd15.json",
+)
+
+# tiny-geometry fixture config (CPU-runnable; ratios match sd15.sh:
+# K=5 of total_step, attrcon 2 steps, gan w=1, token 1e-3 / pixel 5e-5)
+SEED = 0
+B = 2
+RESOLUTION = 128
+TOTAL_STEP = 10
+K = 5
+A = 2
+CFG_SCALE = 7.5
+CAPTURE_LAYERS = ("mid_2", "up_4", "up_8", "up_16")
+PROMPTS = ["a red car and a blue bird", "two green cats on a mat"]
+
+
+def _aligned_masks(word_valid: np.ndarray, resolution: int) -> np.ndarray:
+    """(B, W, H, W) quadrant masks, 64px-aligned (see module doc)."""
+    Bn, W = word_valid.shape
+    half = resolution // 2
+    out = np.zeros((Bn, W, resolution, resolution), np.uint8)
+    quads = [(0, 0), (0, half), (half, 0), (half, half)]
+    for b in range(Bn):
+        for w in range(W):
+            if word_valid[b, w]:
+                y, x = quads[w % 4]
+                out[b, w, y:y + half, x:x + half] = 1
+    return out
+
+
+def run_fixture(record: bool = False,
+                fixture_path: Optional[str] = None) -> Dict:
+    """Returns the comparison record; raises nothing (caller decides
+    pass/fail from record['abs_delta'])."""
+    import torch
+    import transformers
+
+    import jax
+    import jax.numpy as jnp
+
+    from comat_tpu.config import BLIPConfig, UNetConfig, VAEConfig
+    from comat_tpu.models.blip import BLIPCaptioner
+    from comat_tpu.models.hf_import import (
+        _blip_hf_name, _clip_hf_name, _unet_hf_name, _vae_hf_name,
+        convert_tree,
+    )
+    from comat_tpu.models.pipeline import (
+        DiffusionPipeline, make_pipeline_config,
+    )
+    from comat_tpu.losses.caption_reward import build_caption_batch
+    from comat_tpu.losses.gan import Discriminator, GanConfig
+    from comat_tpu.segmentation.interface import (
+        CenterPriorSegmenter, SegmenterHolder,
+    )
+    from comat_tpu.text.tokenizer import HashTokenizer
+    from comat_tpu.tools.torch_twin_sd15 import (
+        TwinUNet, TwinVAEDecoder, comat_step_loss_torch,
+    )
+    from comat_tpu.training.attrcon import (
+        attrcon_batch_fields, make_attrcon_extra_losses,
+        sample_attrcon_draws,
+    )
+    from comat_tpu.training.train_step import (
+        TrainConfig, init_disc_state, init_train_state, make_d_optimizer,
+        make_optimizer, make_train_step, sample_trained_idx,
+    )
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    # ---- 1. torch-side models, seeded random fp32 ----
+    torch.manual_seed(SEED)
+    clip_cfg = transformers.CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="quick_gelu",
+        bos_token_id=0, eos_token_id=999,
+    )
+    text_t = transformers.CLIPTextModel(clip_cfg).eval().float()
+
+    unet_t = TwinUNet().eval().float()           # tiny SD1.5 topology
+    vae_t = TwinVAEDecoder().eval().float()
+    d_unet_t = TwinUNet().eval().float()         # the GAN D's UNet
+    g = torch.Generator().manual_seed(SEED + 7)
+    d_head_w = torch.randn(1, 4, generator=g).numpy() * 0.5
+    d_head_b = torch.randn(1, generator=g).numpy() * 0.1
+
+    vcfg = transformers.BlipVisionConfig(
+        image_size=64, patch_size=16, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64,
+    )
+    tcfg_b = transformers.BlipTextConfig(
+        vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        encoder_hidden_size=32, max_position_embeddings=512,
+        is_decoder=True, bos_token_id=1,
+    )
+    blip_t = transformers.BlipForConditionalGeneration(
+        transformers.BlipConfig(
+            text_config=tcfg_b.to_dict(), vision_config=vcfg.to_dict()
+        )
+    ).eval().float()
+
+    # ---- 2. convert into the JAX stack (strict on covered towers) ----
+    # lora_rank>0 keeps the real trainable surface in play: LoRA init
+    # is B=0 so its contribution is exactly zero — the twin (no LoRA)
+    # computes the same function, while partition_params/optimizer see
+    # a genuine non-empty trainable tree.
+    pcfg = make_pipeline_config(
+        "sd_1_5_attrcon", lora_rank=4, resolution=RESOLUTION, tiny=True
+    )
+    pipe = DiffusionPipeline(pcfg)
+    params = pipe.init_params(jax.random.PRNGKey(SEED))
+
+    def sd_of(m):
+        return {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    params["unet"], miss_u = convert_tree(
+        params["unet"], sd_of(unet_t), _unet_hf_name
+    )
+    # LoRA leaves have no twin weights by design: B is zero-initialized
+    # so LoRA contributes exactly zero and the twin computes the same
+    # function without it. Assert the zero-init invariant here — a
+    # nonzero B would silently break the comparison.
+    miss_u = [m for m in miss_u if "lora" not in m]
+    lora_b_max = max(
+        (float(jnp.abs(leaf).max()), )[0]
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            params["unet"]
+        )[0]
+        if "lora_b" in jax.tree_util.keystr(path)
+    )
+    assert lora_b_max == 0.0, f"LoRA B not zero-init: {lora_b_max}"
+    params["text"], miss_t = convert_tree(
+        params["text"], sd_of(text_t), _clip_hf_name
+    )
+    params["vae"], miss_v = convert_tree(
+        params["vae"], sd_of(vae_t), _vae_hf_name
+    )
+    miss_t = [m for m in miss_t if "text_projection" not in m]
+    # VAE encoder leaves are unused by decode (twin ships decoder +
+    # post_quant_conv only): tolerate encoder misses, keep decoder ones
+    miss_v = [m for m in miss_v if m.startswith("decoder")]
+    unmapped = miss_u + miss_t + miss_v
+
+    blip = BLIPCaptioner(BLIPConfig.tiny(vocab_size=1000))
+    cap_tok = HashTokenizer(1000)
+    clip_tok = HashTokenizer(1000)
+    cap_batch = build_caption_batch(cap_tok, PROMPTS)
+
+    blip_params = blip.init(
+        jax.random.PRNGKey(SEED),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.asarray(cap_batch["input_ids"][:1]),
+        jnp.asarray(cap_batch["attention_mask"][:1]),
+        jnp.asarray(cap_batch["labels"][:1]),
+    )
+    blip_params, miss_b = convert_tree(
+        blip_params, sd_of(blip_t), _blip_hf_name
+    )
+    unmapped += miss_b
+
+    disc = Discriminator(
+        UNetConfig.tiny(), GanConfig(lora_rank=0)
+    )
+    d_params = disc.init_params(
+        jax.random.PRNGKey(SEED + 1), latent_size=RESOLUTION // 8,
+        context_dim=32,
+    )
+    d_params["unet"], miss_d = convert_tree(
+        d_params["unet"], sd_of(d_unet_t), _unet_hf_name
+    )
+    unmapped += miss_d
+    d_params["head"] = {
+        "params": {"mlp": {
+            "kernel": jnp.asarray(d_head_w.T),   # (4, 1)
+            "bias": jnp.asarray(d_head_b),
+        }}
+    }
+    if unmapped:
+        return {"error": f"{len(unmapped)} unmapped params",
+                "unmapped": unmapped[:10]}
+
+    # ---- 3. shared inputs + replicated rng derivation ----
+    tcfg = TrainConfig(
+        total_step=TOTAL_STEP, K=K, guidance_scale=CFG_SCALE,
+        resolution=RESOLUTION, gan_loss=True, gan_loss_weight=1.0,
+        attrcon=True, attrcon_train_steps=A,
+        mask_token_loss_weight=1e-3, mask_pixel_loss_weight=5e-5,
+    )
+    enc = clip_tok(PROMPTS, max_length=77)
+    null = clip_tok([""] * B, max_length=77)
+    holder = SegmenterHolder(CenterPriorSegmenter(), max_words=4)
+    attr_fields = attrcon_batch_fields(
+        PROMPTS, clip_tok, holder, 77, resolution=RESOLUTION
+    )
+    seg_masks = _aligned_masks(
+        np.asarray(attr_fields["word_valid"]), RESOLUTION
+    )
+    batch = {
+        "input_ids": jnp.asarray(enc["input_ids"]),
+        "eos_positions": jnp.asarray(enc["eos_positions"]),
+        "null_ids": jnp.asarray(null["input_ids"]),
+        "caption_ids": jnp.asarray(cap_batch["input_ids"]),
+        "caption_mask": jnp.asarray(cap_batch["attention_mask"]),
+        "caption_labels": jnp.asarray(cap_batch["labels"]),
+        "gt_latents": jnp.zeros((B, RESOLUTION // 8, RESOLUTION // 8, 4)),
+        **{k: jnp.asarray(v) for k, v in attr_fields.items()},
+    }
+    batch["seg_masks"] = jnp.asarray(seg_masks)
+
+    # rng derivation — MUST mirror train_step.loss_fn + forward()
+    rng = jax.random.PRNGKey(SEED + 3)
+    rng0 = jax.random.fold_in(rng, 0)              # state.step == 0
+    rngs = jax.random.split(rng0, 4)
+    trained_idx = np.asarray(sample_trained_idx(rngs[0], tcfg))
+    draws = np.asarray(sample_attrcon_draws(rng0, tcfg))
+    rng_noise, lrng = jax.random.split(rngs[1])    # forward()'s split
+    h = RESOLUTION // 8
+    latents0 = np.asarray(jax.random.normal(lrng, (B, h, h, 4)))
+    noise_table = np.stack([
+        np.asarray(jax.random.normal(
+            jax.random.fold_in(rng_noise, i), (B, h, h, 4)
+        ))
+        for i in range(TOTAL_STEP)
+    ])
+    offset_range = RESOLUTION // 224                # == 0 at 128
+    ox = int(jax.random.randint(rngs[2], (), 0, offset_range + 1))
+    oy = int(jax.random.randint(rngs[3], (), 0, offset_range + 1))
+
+    # ---- 4a. JAX side: the real jitted train step ----
+    opt = make_optimizer(tcfg)
+    state, frozen = init_train_state(params, tcfg, opt)
+    d_opt = make_d_optimizer(tcfg)
+    d_state, d_frozen = init_disc_state(d_params, d_opt)
+    extra = make_attrcon_extra_losses(pipe, holder, tcfg)
+    step = jax.jit(make_train_step(
+        pipe, blip, tcfg, opt, extra_losses=extra, disc=disc,
+        d_optimizer=d_opt,
+    ))
+    _, _, metrics = step(
+        state, frozen, blip_params, batch, rng, d_state, d_frozen
+    )
+    ours = {k: float(metrics[k]) for k in
+            ("step_loss", "reward_blip", "G_loss", "token_loss",
+             "pixel_loss")}
+
+    # ---- 4b. torch twin ----
+    twin = comat_step_loss_torch(
+        text_model=text_t, unet=unet_t, vae=vae_t, blip_model=blip_t,
+        d_unet=d_unet_t, d_head_weight=d_head_w, d_head_bias=d_head_b,
+        input_ids=np.asarray(enc["input_ids"]),
+        null_ids=np.asarray(null["input_ids"]),
+        caption_ids=cap_batch["input_ids"],
+        caption_mask=cap_batch["attention_mask"],
+        caption_labels=cap_batch["labels"],
+        latents0=latents0, noise_table=noise_table,
+        trained_idx=trained_idx, attrcon_draws=draws,
+        crop_ox=ox, crop_oy=oy,
+        seg_masks=seg_masks,
+        token_idx=np.asarray(attr_fields["token_idx"]),
+        token_valid=np.asarray(attr_fields["token_valid"]),
+        word_valid=np.asarray(attr_fields["word_valid"]),
+        num_inference_steps=TOTAL_STEP,
+        guidance_scale=CFG_SCALE,
+        vae_scaling=pcfg.vae.scaling_factor,
+        blip_image_size=64,
+        capture_layers=CAPTURE_LAYERS,
+        mask_token_loss_weight=1e-3,
+        mask_pixel_loss_weight=5e-5,
+        resolution=RESOLUTION,
+    )
+
+    record_out = {
+        "fixture": "tiny_random_v1",
+        "seed": SEED,
+        "config": {
+            "B": B, "resolution": RESOLUTION, "total_step": TOTAL_STEP,
+            "K": K, "attrcon_train_steps": A, "cfg_scale": CFG_SCALE,
+            "gan_loss_weight": 1.0, "mask_token_loss_weight": 1e-3,
+            "mask_pixel_loss_weight": 5e-5, "prompts": PROMPTS,
+        },
+        "torch_twin": twin,
+        "jax": ours,
+        "abs_delta": abs(twin["step_loss"] - ours["step_loss"]),
+        "tolerance": TOL,
+        "component_deltas": {
+            k: abs(twin[k] - ours[k])
+            for k in ("reward_blip", "G_loss", "token_loss", "pixel_loss")
+            if twin.get(k) is not None
+        },
+    }
+    path = fixture_path or FIXTURE_PATH
+    if record:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(record_out, f, indent=1)
+    return record_out
+
+
+if __name__ == "__main__":
+    import sys
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    rec = run_fixture(record="--record" in sys.argv)
+    print(json.dumps(rec, indent=1))
+    if "error" in rec:
+        sys.exit(2)
+    sys.exit(0 if rec["abs_delta"] <= rec["tolerance"] else 1)
