@@ -28,6 +28,21 @@ Design (v5e-swept at SD1.5 shapes, B8 H8 S4096 d40):
   is measured FASTER on the plain XLA path and is dispatched there by
   ops/attention.py, not here.
 
+  d-padding experiment (round 3, tools/bench_flash_dpad.py, v5e via
+  relay, same session for all three settings — useful-FLOP TF/s at
+  B8 H8 S4096 d40):
+      COMAT_FLASH_D_PAD   fwd TF/s   fwd+bwd TF/s
+      0 (unpadded)        38.3       36.5
+      64                  38.3       35.0
+      128                 28.2       32.3
+  Padding does NOT help: the MXU processes the d-contraction in full
+  128-lane passes regardless, so zero columns buy nothing on the
+  matmuls, while the padded qf/kf/vf copies add real HBM traffic
+  (explicit at d=128, where fwd loses 27%). The "~61 TF/s d-padded
+  ceiling" from the round-2 sweep does not reproduce under like-for-
+  like conditions; unpadded stays the default and the env knob remains
+  for re-running the experiment.
+
 Backward (`flash_attention_vjp`): the standard flash decomposition —
 forward additionally emits the per-row logsumexp; the backward
 recomputes probabilities blockwise from (q, k, L) and accumulates
@@ -44,6 +59,7 @@ captured layers (attn_utils/tc_attn_utils.py:104-161). Probability
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -228,7 +244,15 @@ def _blocks(Sq, Skv, d):
     # No blocking over d: a block dim equal to the full array dim is
     # always legal, so keep d unpadded (lane padding happens inside the
     # MXU) except for tiny dims where an 8-multiple helps Mosaic.
+    # COMAT_FLASH_D_PAD=<N> pads small head dims up to N (the d-padding
+    # experiment — tools/bench_flash_dpad.py sweeps it; see the module
+    # docstring for the measured verdict). Exact numerics either way:
+    # zero q/k columns leave logits unchanged, zero v columns are
+    # sliced off, and the bwd unpads dq/dk/dv.
     d_pad = d if d % 8 == 0 else _round_up(d, 8)
+    dmin = int(os.environ.get("COMAT_FLASH_D_PAD", "0"))
+    if dmin and d_pad < dmin:
+        d_pad = dmin
     # swept on v5e at SD1.5 shapes (B8 H8 S4096 d40): bq=1024/bkv=1024
     # is the plateau (with the unrolled kernel); bkv=256 regresses badly.
     block_q = min(1024, _round_up(Sq, 8))
