@@ -9,12 +9,18 @@ LoRA rank 128, BLIP-large reward, --gan_loss with the G-then-D update,
 attrcon grounding losses with attrcon_train_steps=2) on real geometry
 with random weights (arithmetic identical to trained weights). Frozen
 towers run bf16 (reference runs fp16 — training_utils/pipeline.py:60-70);
-LoRA and optimizer state stay fp32. Segmentation masks arrive as
-explicit batch constants (CenterPrior stand-in, computed host-side
-before the step — the axon TPU relay has no in-graph host callbacks;
-the reference's GSAM compute is NOT charged to the A100 baseline
-either, keeping the comparison conservative). The reduced step (no GAN, no attrcon) is also
-measured and reported in detail.
+LoRA and optimizer state stay fp32. For the HEADLINE number,
+segmentation masks arrive as explicit batch constants (CenterPrior
+stand-in, computed host-side before the step — the axon TPU relay has
+no in-graph host callbacks; the reference's GSAM compute is NOT
+charged to the A100 baseline either, keeping the comparison
+conservative). The REAL published recipe (`--seg_model gsam`:
+presample program + GroundingDINO@800 + FastSAM-x inference +
+table-replay step) is ALSO measured and reported as
+`step_seconds_gsam_recipe`, alongside the reduced step (no GAN, no
+attrcon), a measured end-to-end `--pass1_int8` step with its
+first-step loss delta, and a measured SDXL full-recipe step
+(BENCH_GSAM/BENCH_INT8/BENCH_SDXL=0 env vars skip the extras).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 A100 baseline is derived from the recipe:
@@ -31,8 +37,10 @@ for the overhead, not the reference.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +86,8 @@ def random_params_bf16(init_fn, key):
 
 
 def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
-          full_recipe: bool = False):
+          full_recipe: bool = False, pass1_int8: bool = False,
+          tiny: bool = False):
     from comat_tpu.config import BLIPConfig
     from comat_tpu.models.blip import BLIPCaptioner
     from comat_tpu.models.pipeline import DiffusionPipeline, make_pipeline_config
@@ -88,19 +97,26 @@ def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
         TrainConfig, init_train_state, make_optimizer, make_train_step,
     )
 
-    pcfg = make_pipeline_config(model, lora_rank=128, resolution=resolution)
+    # tiny=True: CPU smoke geometry for tests/test_bench_smoke.py —
+    # same code paths, toy widths
+    pcfg = make_pipeline_config(
+        model, lora_rank=128 if not tiny else 4, resolution=resolution,
+        tiny=tiny,
+    )
     pipe = DiffusionPipeline(pcfg)
-    blip = BLIPCaptioner(BLIPConfig.large())
+    blip_cfg = BLIPConfig.tiny() if tiny else BLIPConfig.large()
+    blip = BLIPCaptioner(blip_cfg)
     k = jax.random.PRNGKey(0)
 
     params = random_params_bf16(pipe.init_params, k)
 
     B = batch_size
-    tok = HashTokenizer(49408)            # CLIP vocab
-    blip_tok = HashTokenizer(30524)       # BLIP/BERT vocab
+    tok = HashTokenizer(pcfg.text.vocab_size)   # CLIP vocab (49408)
+    blip_tok = HashTokenizer(blip_cfg.vocab_size)       # BERT (30524)
     prompts = [f"a photo of a red car and {i} blue birds" for i in range(B)]
-    enc = tok(prompts, max_length=77)
-    null = tok([""] * B, max_length=77)
+    L = pcfg.text.max_length
+    enc = tok(prompts, max_length=L)
+    null = tok([""] * B, max_length=L)
     cap = build_caption_batch(blip_tok, prompts)
     S = 32
     pad = lambda a, v: np.pad(a, ((0, 0), (0, S - a.shape[1])), constant_values=v)
@@ -114,14 +130,18 @@ def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
     }
     blip_params = random_params_bf16(
         lambda k: blip.init(
-            k, jnp.zeros((1, 384, 384, 3)), batch["caption_ids"][:1],
+            k, jnp.zeros((1, blip_cfg.image_size, blip_cfg.image_size, 3)),
+            batch["caption_ids"][:1],
             batch["caption_mask"][:1], batch["caption_labels"][:1],
         ),
         k,
     )
 
     tcfg = TrainConfig(
-        total_step=50, K=5, resolution=resolution,
+        # tiny CPU smoke keeps the recipe's structure (S > K, attrcon
+        # subset) at a compile size a 1-core host can trace
+        total_step=50 if not tiny else 10,
+        K=5, resolution=resolution,
         # the SDXL recipe needs block remat to fit 16GB HBM (the
         # reference also runs --gradient_checkpointing); SD1.5 fits
         # without and runs faster un-remat'd
@@ -133,6 +153,7 @@ def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
         attrcon_train_steps=2,
         mask_token_loss_weight=1e-3,
         mask_pixel_loss_weight=5e-5,
+        pass1_int8=pass1_int8,
     )
     opt = make_optimizer(tcfg)
     state, frozen = init_train_state(params, tcfg, opt)
@@ -156,16 +177,18 @@ def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
         # cross-arch SD1.5-architecture D conditioned on the CLIP-L
         # tower's 768-dim states (scripts/sdxl.sh; trainer.py wires the
         # same way). No --gan_unet_lastlayer_cls / --condition_discriminator.
+        d_rank = 128 if not tiny else 4
         if pcfg.is_sdxl:
             from comat_tpu.config import UNetConfig
 
-            d_unet_cfg = UNetConfig.sd15()
+            d_unet_cfg = (UNetConfig.sd15() if not tiny
+                          else UNetConfig.tiny(pcfg.text.hidden_size))
             d_ctx_dim = pcfg.text.hidden_size
-            gcfg = GanConfig(lora_rank=128, cross_arch=True)
+            gcfg = GanConfig(lora_rank=d_rank, cross_arch=True)
         else:
             d_unet_cfg = pcfg.unet
             d_ctx_dim = pcfg.unet.cross_attention_dim
-            gcfg = GanConfig(lora_rank=128)
+            gcfg = GanConfig(lora_rank=d_rank)
         disc = Discriminator(d_unet_cfg, gcfg)
         d_params = random_params_bf16(
             lambda k: disc.init_params(
@@ -227,7 +250,8 @@ def reference_flops_per_image(pipe, blip, params, blip_params, batch,
     s = pipe.cfg.latent_size
     lat = jnp.zeros((2 * B, s, s, 4), jnp.bfloat16)
     ctx = jnp.zeros(
-        (2 * B, 77, pipe.cfg.unet.cross_attention_dim), jnp.bfloat16
+        (2 * B, pipe.cfg.text.max_length,
+         pipe.cfg.unet.cross_attention_dim), jnp.bfloat16
     )
     c_unet = jax.jit(unet_cfg).lower(params, lat, ctx).compile().cost_analysis()
     f_unet = float(c_unet["flops"])  # one CFG (2B) forward
@@ -267,7 +291,8 @@ def reference_flops_per_image(pipe, blip, params, blip_params, batch,
             jnp.bfloat16,
         )
         ctx_b = jnp.zeros(
-            (B, 77, disc.unet.cfg.cross_attention_dim), jnp.bfloat16
+            (B, pipe.cfg.text.max_length,
+             disc.unet.cfg.cross_attention_dim), jnp.bfloat16
         )
         t_b = jnp.zeros((B,), jnp.int32)
         c_d = jax.jit(
@@ -291,15 +316,18 @@ def _sync(m):
 def measure(built, n_iters: int = 3):
     """Steady-state seconds/step of a built train step.
 
-    Returns (dt, state, d_state): the inputs' state buffers are DONATED
-    on the first call — callers must use the returned live ones."""
+    Returns (dt, state, d_state, m0): the inputs' state buffers are
+    DONATED on the first call — callers must use the returned live
+    ones. m0 is the FIRST step's metrics dict (deterministic from the
+    seeded init — two builds differing only in numerics flags can
+    compare m0["step_loss"] directly, e.g. the --pass1_int8 drift)."""
     (pipe, blip, step, state, frozen, blip_params, batch, tcfg,
      disc, d_state, d_frozen) = built
     rng = jax.random.PRNGKey(7)
     if disc is None:
         compiled = step.lower(state, frozen, blip_params, batch, rng).compile()
         state, _, m = compiled(state, frozen, blip_params, batch, rng)
-        _sync(m)
+        m0 = jax.device_get(m)
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, _, m = compiled(state, frozen, blip_params, batch, rng)
@@ -311,14 +339,14 @@ def measure(built, n_iters: int = 3):
         state, d_state, m = compiled(
             state, frozen, blip_params, batch, rng, d_state, d_frozen
         )
-        _sync(m)
+        m0 = jax.device_get(m)
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, d_state, m = compiled(
                 state, frozen, blip_params, batch, rng, d_state, d_frozen
             )
         _sync(m)
-    return (time.perf_counter() - t0) / n_iters, state, d_state
+    return (time.perf_counter() - t0) / n_iters, state, d_state, m0
 
 
 def _timeit(fn, args, iters=8) -> float:
@@ -338,11 +366,27 @@ def _timeit(fn, args, iters=8) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _phase(out, name, fn, args, iters=8):
+    """Time one isolated phase into out[name], swallowing (and logging)
+    any failure so one relay hiccup (e.g. the HTTP 413 a large compile
+    payload hit in round 2 — BENCH_r02.json `tail`) cannot wipe the
+    rest of the breakdown. Each phase is its own jit/compile, so
+    compiles stay small and independent."""
+    try:
+        out[name] = _timeit(fn, args, iters=iters)
+    except Exception:
+        print(f"[bench] phase '{name}' failed:", file=sys.stderr)
+        traceback.print_exc()
+
+
 def phase_seconds_breakdown(pipe, blip, state, frozen, blip_params,
-                            batch, disc=None, d_state=None, d_frozen=None):
+                            batch, tcfg=None, disc=None, d_state=None,
+                            d_frozen=None):
     """Measured seconds for each isolated step phase (each its own small
-    jit): VAE decode fwd / fwd+bwd, BLIP reward fwd / fwd+bwd, GAN
-    G-side (D fwd + bwd-to-latents) and D-update (2B fwd + bwd-to-LoRA).
+    jit, each failure-isolated — see _phase): VAE decode fwd / fwd+bwd,
+    BLIP reward fwd / fwd+bwd, GAN G-side (D fwd + bwd-to-latents),
+    D-update (2B fwd + bwd-to-LoRA), and the attrcon capture forward +
+    grounding losses at one segment (the step pays A of these).
     Matches the workload shapes of the real step; used to prove each
     phase's share of the step against its roofline (VERDICT r1 #4)."""
     from comat_tpu.losses.caption_reward import blip_caption_reward
@@ -355,12 +399,11 @@ def phase_seconds_breakdown(pipe, blip, state, frozen, blip_params,
 
     z = jnp.zeros((B, s, s, 4), jnp.float32)
     f_vae = lambda zz: pipe.decode_image(params, zz)
-    out["vae_decode_fwd"] = _timeit(f_vae, (z,))
+    _phase(out, "vae_decode_fwd", f_vae, (z,))
     ct_img = jnp.ones((B, pipe.cfg.resolution, pipe.cfg.resolution, 3),
                       jnp.float32)
-    out["vae_decode_fwd_plus_bwd"] = _timeit(
-        lambda zz, ct: jax.vjp(f_vae, zz)[1](ct)[0], (z, ct_img)
-    )
+    _phase(out, "vae_decode_fwd_plus_bwd",
+           lambda zz, ct: jax.vjp(f_vae, zz)[1](ct)[0], (z, ct_img))
 
     img = jnp.zeros((B, pipe.cfg.resolution, pipe.cfg.resolution, 3),
                     jnp.float32)
@@ -371,10 +414,8 @@ def phase_seconds_breakdown(pipe, blip, state, frozen, blip_params,
     def scalar_blip(im):
         r = f_blip(im)
         return jax.tree_util.tree_leaves(r)[0].sum()
-    out["blip_reward_fwd"] = _timeit(scalar_blip, (img,))
-    out["blip_reward_fwd_plus_bwd"] = _timeit(
-        jax.grad(scalar_blip), (img,)
-    )
+    _phase(out, "blip_reward_fwd", scalar_blip, (img,))
+    _phase(out, "blip_reward_fwd_plus_bwd", jax.grad(scalar_blip), (img,))
 
     if disc is not None and d_state is not None:
         from comat_tpu.losses.gan import gan_d_loss, gan_g_loss
@@ -382,24 +423,65 @@ def phase_seconds_breakdown(pipe, blip, state, frozen, blip_params,
         d_params = merge_params(d_state.trainable, d_frozen)
         lat = jnp.zeros((B, s, s, 4), jnp.float32)
         ctx = jnp.zeros(
-            (B, 77, disc.unet.cfg.cross_attention_dim), jnp.bfloat16
+            (B, pipe.cfg.text.max_length,
+             disc.unet.cfg.cross_attention_dim), jnp.bfloat16
         )
         t_last = jnp.int32(979)
 
-        out["gan_G_side_fwd_plus_bwd"] = _timeit(
-            jax.grad(lambda l: gan_g_loss(disc, d_params, l, t_last, ctx)),
-            (lat,),
-        )
+        _phase(out, "gan_G_side_fwd_plus_bwd",
+               jax.grad(lambda l: gan_g_loss(disc, d_params, l, t_last,
+                                             ctx)),
+               (lat,))
         gt = jnp.zeros((B, s, s, 4), jnp.float32)
-        out["gan_D_update_fwd_plus_bwd"] = _timeit(
-            jax.grad(
-                lambda d_tr: gan_d_loss(
-                    disc, merge_params(d_tr, d_frozen), lat, gt,
-                    t_last, ctx,
-                )
-            ),
-            (d_state.trainable,),
+        _phase(out, "gan_D_update_fwd_plus_bwd",
+               jax.grad(
+                   lambda d_tr: gan_d_loss(
+                       disc, merge_params(d_tr, d_frozen), lat, gt,
+                       t_last, ctx,
+                   )
+               ),
+               (d_state.trainable,))
+
+    if tcfg is not None and getattr(tcfg, "attrcon", False):
+        # one attrcon segment: cond-half capture forward (B, not 2B —
+        # sampler._make_capture_only slices guidance at the source) +
+        # the grounding token/pixel losses over the captured maps,
+        # fwd+bwd to the latent. The real step pays A=attrcon_train_
+        # steps of these on top of the shared replay.
+        from comat_tpu.losses.grounding import comat_grounding_loss
+
+        lat_c = jnp.zeros((B, s, s, 4), jnp.float32)
+        ctx_c = jnp.zeros(
+            (B, pipe.cfg.text.max_length,
+             pipe.cfg.unet.cross_attention_dim), jnp.bfloat16
         )
+        t_c = jnp.full((B,), 500, jnp.int32)
+        masks = batch.get("seg_masks")
+
+        def cap_one_seg(latents):
+            eps, captured = pipe.unet_apply(
+                params, latents, t_c, ctx_c, capture=True, fast=False
+            )
+            stacked = jax.tree_util.tree_map(
+                lambda m: m[None].astype(jnp.bfloat16), captured
+            )  # A=1 axis, bf16 tables as in the sampler
+            tl, pl = comat_grounding_loss(
+                stacked, jnp.ones((1,), jnp.float32),
+                jax.lax.stop_gradient(masks.astype(jnp.float32)),
+                batch["token_idx"], batch["token_valid"],
+                batch["word_valid"], cond_offset=0,
+                capture_layers=pipe.cfg.capture_layers,
+            )
+            return (tcfg.mask_token_loss_weight * tl
+                    + tcfg.mask_pixel_loss_weight * pl
+                    + 0.0 * eps.astype(jnp.float32).sum())
+
+        if masks is not None:
+            _phase(out, "attrcon_capture_plus_grounding_one_seg_fwd",
+                   cap_one_seg, (lat_c,))
+            _phase(out,
+                   "attrcon_capture_plus_grounding_one_seg_fwd_plus_bwd",
+                   jax.grad(cap_one_seg), (lat_c,))
     return out
 
 
@@ -415,7 +497,8 @@ def pass1_seconds(pipe, state, frozen, batch, int8: bool = False) -> float:
     s = pipe.cfg.latent_size
     lat = jnp.zeros((2 * B, s, s, 4), jnp.bfloat16)
     ctx = jnp.zeros(
-        (2 * B, 77, pipe.cfg.unet.cross_attention_dim), jnp.bfloat16
+        (2 * B, pipe.cfg.text.max_length,
+         pipe.cfg.unet.cross_attention_dim), jnp.bfloat16
     )
     t = jnp.zeros((2 * B,), jnp.int32)
     fwd = jax.jit(
@@ -434,14 +517,103 @@ def pass1_seconds(pipe, state, frozen, batch, int8: bool = False) -> float:
     return 50.0 * (time.perf_counter() - t0) / iters
 
 
-def _run_full(batch_size, model):
+def gsam_recipe_seconds(pipe, step, state, frozen, blip_params, batch,
+                        tcfg, d_state, d_frozen, n_iters: int = 3,
+                        tiny: bool = False):
+    """Measured seconds of the REAL `--seg_model gsam` per-step
+    sequence (scripts/sd15.sh:12-15): presample program -> host
+    Grounded-SAM masks (GroundingDINO @800 + FastSAM-x device
+    inference, random weights — the arithmetic cost is weight-
+    independent) -> train step replaying from the presampled tables.
+    Returns {presample, gsam_masks, step_with_tables, total} seconds.
+    The r2 headline charged only a CenterPrior stand-in (disclosed in
+    the module docstring); this measures the recipe as published."""
+    from comat_tpu.segmentation.grounded_sam import GroundedSAMSegmenter
+    from comat_tpu.segmentation.interface import SegmenterHolder
+    from comat_tpu.text.tokenizer import HashTokenizer
+    from comat_tpu.training.attrcon import attrcon_batch_fields
+    from comat_tpu.training.train_step import make_presample
+
+    B = batch["input_ids"].shape[0]
+    prompts = [f"a photo of a red car and {i} blue birds"
+               for i in range(B)]  # same prompts as build()
+    if tiny:
+        from comat_tpu.segmentation.fastsam import YoloSegConfig
+        from comat_tpu.segmentation.gdino import GDinoConfig
+
+        seg = GroundedSAMSegmenter(
+            sam_cfg=YoloSegConfig.tiny(), gdino_cfg=GDinoConfig.tiny(),
+            image_size=pipe.cfg.resolution, gdino_resize=None,
+        )
+    else:
+        # the trainer's production wiring: FastSAM-x at native size,
+        # GroundingDINO resized to 800 (gsam_interface.py:39-45)
+        seg = GroundedSAMSegmenter(
+            image_size=pipe.cfg.resolution, gdino_resize=800
+        )
+    holder = SegmenterHolder(seg)
+    tok = HashTokenizer(pipe.cfg.text.vocab_size)
+    b2 = dict(batch)
+    b2.update(attrcon_batch_fields(
+        prompts, tok, holder, pipe.cfg.text.max_length,
+        resolution=pipe.cfg.resolution,
+    ))
+
+    rng = jax.random.PRNGKey(7)
+    pres = jax.jit(make_presample(pipe, tcfg))
+    cpres = pres.lower(state, frozen, b2, rng).compile()
+    image, eps_t, traj = cpres(state, frozen, b2, rng)
+    jax.device_get(image.ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        image, eps_t, traj = cpres(state, frozen, b2, rng)
+    jax.device_get(image.ravel()[0])
+    t_pres = (time.perf_counter() - t0) / n_iters
+
+    img01 = np.clip(np.asarray(image, np.float32), 0.0, 1.0)
+    masks = holder.host_masks(img01)  # warm (compiles GDINO+FastSAM)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        masks = holder.host_masks(img01)
+    t_seg = (time.perf_counter() - t0) / n_iters
+
+    b2["seg_masks"] = jnp.asarray(masks.astype(np.uint8))
+    b2["eps_table"] = eps_t
+    b2["latents_traj"] = traj
+    # new batch keys -> `step` retraces into the table-replay program
+    # (train_step.py:331 static branch); pass-1 is NOT paid again.
+    cstep = step.lower(
+        state, frozen, blip_params, b2, rng, d_state, d_frozen
+    ).compile()
+    state, d_state, m = cstep(
+        state, frozen, blip_params, b2, rng, d_state, d_frozen
+    )
+    _sync(m)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, d_state, m = cstep(
+            state, frozen, blip_params, b2, rng, d_state, d_frozen
+        )
+    _sync(m)
+    t_step = (time.perf_counter() - t0) / n_iters
+    return {
+        "presample": round(t_pres, 3),
+        "gsam_masks": round(t_seg, 3),
+        "step_with_tables": round(t_step, 3),
+        "total": round(t_pres + t_seg + t_step, 3),
+    }, state, d_state
+
+
+def _run_full(batch_size, model, with_gsam=False, tiny=False,
+              resolution=512):
     """Build+measure the full recipe in its own scope so every HBM
     buffer dies before the reduced build allocates."""
     from comat_tpu.training.train_step import merge_params
 
-    full = build(batch_size, model=model, full_recipe=True)
-    dt_full, state, d_state = measure(full)
-    (pipe, blip, _, _, frozen, blip_params, batch, tcfg,
+    full = build(batch_size, model=model, full_recipe=True, tiny=tiny,
+                 resolution=resolution)
+    dt_full, state, d_state, m0 = measure(full)
+    (pipe, blip, step, _, frozen, blip_params, batch, tcfg,
      disc, _, d_frozen) = full
 
     f_img, comp = None, {}
@@ -454,30 +626,38 @@ def _run_full(batch_size, model):
         )
         del merged, d_merged
     except Exception:
-        import traceback
-
         traceback.print_exc()
 
     t_pass1 = t_pass1_int8 = None
     try:
         t_pass1 = pass1_seconds(pipe, state, frozen, batch)
+    except Exception:
+        traceback.print_exc()
+    try:
         t_pass1_int8 = pass1_seconds(pipe, state, frozen, batch, int8=True)
     except Exception:
-        import traceback
-
         traceback.print_exc()
 
     phases = {}
     try:
         phases = phase_seconds_breakdown(
-            pipe, blip, state, frozen, blip_params, batch,
+            pipe, blip, state, frozen, blip_params, batch, tcfg=tcfg,
             disc=disc, d_state=d_state, d_frozen=d_frozen,
         )
     except Exception:
-        import traceback
-
         traceback.print_exc()
-    return dt_full, f_img, comp, t_pass1, t_pass1_int8, phases
+
+    gsam = None
+    if with_gsam:
+        try:
+            # runs LAST: the step calls donate state/d_state
+            gsam, state, d_state = gsam_recipe_seconds(
+                pipe, step, state, frozen, blip_params, batch, tcfg,
+                d_state, d_frozen, tiny=tiny,
+            )
+        except Exception:
+            traceback.print_exc()
+    return dt_full, f_img, comp, t_pass1, t_pass1_int8, phases, gsam, m0
 
 
 def _device_reachable(timeout_s: float = 420.0) -> bool:
@@ -536,20 +716,82 @@ def main():
         pass
 
     # Full recipe (scripts/sd15.sh: --gan_loss + attrcon) — the headline
-    dt_full, f_img, comp, t_pass1, t_pass1_int8, phases = _run_full(
-        batch_size, model
+    dt_full, f_img, comp, t_pass1, t_pass1_int8, phases, gsam, m0 = (
+        _run_full(
+            batch_size, model,
+            with_gsam=os.environ.get("BENCH_GSAM", "1") != "0",
+        )
     )
+
+    # --pass1_int8 measured END-TO-END (not the subtraction projection):
+    # same seeded init/batch/rng, the only difference is the W8A8 pass-1
+    # numerics, so m0["step_loss"] deltas isolate the int8 drift.
+    dt_int8 = loss_delta_int8 = None
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        try:
+            full8 = build(batch_size, model=model, full_recipe=True,
+                          pass1_int8=True)
+            dt_int8, _, _, m0_int8 = measure(full8)
+            del full8
+            if m0 is not None and m0_int8 is not None:
+                loss_delta_int8 = abs(
+                    float(m0_int8["step_loss"]) - float(m0["step_loss"])
+                )
+        except Exception:
+            traceback.print_exc()
 
     # Reduced step (no GAN, no attrcon) for the delta breakdown
     dt_reduced = None
     try:
         reduced = build(batch_size, model=model, full_recipe=False)
-        dt_reduced, _, _ = measure(reduced)
+        dt_reduced, _, _, _ = measure(reduced)
         del reduced
     except Exception:
-        import traceback
-
         traceback.print_exc()
+
+    # SDXL full recipe (scripts/sdxl.sh: 512px, bs4-on-16GB with block
+    # remat, cross-arch SD1.5 D) — measured, not projected (VERDICT r2
+    # missing #4). Runs only alongside the sd15 headline.
+    sdxl_detail = None
+    if model == "sd_1_5" and os.environ.get("BENCH_SDXL", "1") != "0":
+        try:
+            from comat_tpu.training.train_step import merge_params
+
+            fullx = build(batch_size, model="sdxl", full_recipe=True)
+            dt_x, state_x, d_state_x, _ = measure(fullx)
+            (pipe_x, blip_x, _, _, frozen_x, blip_params_x, batch_x,
+             tcfg_x, disc_x, _, d_frozen_x) = fullx
+            f_img_x = None
+            try:
+                merged_x = merge_params(state_x.trainable, frozen_x)
+                d_merged_x = merge_params(d_state_x.trainable, d_frozen_x)
+                f_img_x, _ = reference_flops_per_image(
+                    pipe_x, blip_x, merged_x, blip_params_x, batch_x,
+                    tcfg_x, disc=disc_x, d_params=d_merged_x,
+                )
+                del merged_x, d_merged_x
+            except Exception:
+                traceback.print_exc()
+            del fullx, state_x, d_state_x
+            sdxl_detail = {
+                "step_seconds_full_recipe": round(dt_x, 3),
+                "imgs_per_sec": round(batch_size / dt_x, 4),
+                "ref_tflops_per_image": (
+                    round(f_img_x / 1e12, 2) if f_img_x else None
+                ),
+                "vs_baseline": (
+                    round((batch_size / dt_x)
+                          / (A100_PEAK_FLOPS * A100_ASSUMED_MFU / f_img_x),
+                          3)
+                    if f_img_x else None
+                ),
+                "workload": "sdxl.sh: 512px bs%d, gan_loss(cross-arch "
+                            "sd15 D) + attrcon(2) + BLIP reward, 50 DDPM "
+                            "CFG steps, K=5, LoRA r128, block remat"
+                            % batch_size,
+            }
+        except Exception:
+            traceback.print_exc()
 
     imgs_per_sec = batch_size / dt_full
     if f_img:
@@ -590,6 +832,14 @@ def main():
     f_d = comp.get("d_fwd")
     put("gan_G_side_fwd_plus_bwd", t_gan_g, 3 * f_d if f_d else None)
     put("gan_D_update_fwd_plus_bwd", t_gan_d, 6 * f_d if f_d else None)
+    # attrcon: one cond-half capture forward (f_unet/2) and its
+    # fwd+bwd (3x); the step pays A=2 of these
+    put("attrcon_capture_plus_grounding_one_seg_fwd",
+        phases.get("attrcon_capture_plus_grounding_one_seg_fwd"),
+        f_unet / 2 if f_unet else None)
+    put("attrcon_capture_plus_grounding_one_seg_fwd_plus_bwd",
+        phases.get("attrcon_capture_plus_grounding_one_seg_fwd_plus_bwd"),
+        3 * f_unet / 2 if f_unet else None)
     if dt_reduced is not None:
         if None not in (t_pass1, t_vae_fb, t_blip_fb):
             # what's left of the reduced step: the K cached-primal
@@ -617,20 +867,38 @@ def main():
                 "detail": {
                     "batch_size": batch_size,
                     "step_seconds_full_recipe": round(dt_full, 3),
-                    # --pass1_int8 projection: pass 1 is the only phase
-                    # the flag changes, so full-step-int8 = full -
-                    # pass1_bf16 + pass1_int8 (both measured above)
+                    # --pass1_int8 MEASURED end-to-end (full-recipe
+                    # step rebuilt with the flag; loss delta = first-
+                    # step |step_loss_int8 - step_loss_bf16| from the
+                    # same seeded init/batch/rng)
+                    "step_seconds_full_recipe_int8": (
+                        round(dt_int8, 3) if dt_int8 else None
+                    ),
+                    "imgs_per_sec_int8": (
+                        round(batch_size / dt_int8, 4) if dt_int8 else None
+                    ),
+                    "int8_step_loss_delta": (
+                        round(loss_delta_int8, 6)
+                        if loss_delta_int8 is not None else None
+                    ),
+                    # the old subtraction projection, kept for
+                    # continuity with BENCH_r02
                     "step_seconds_full_recipe_int8_est": (
                         round(dt_full - t_pass1 + t_pass1_int8, 3)
                         if None not in (t_pass1, t_pass1_int8) else None
                     ),
-                    "imgs_per_sec_int8_est": (
-                        round(
-                            batch_size / (dt_full - t_pass1 + t_pass1_int8),
-                            4,
-                        )
-                        if None not in (t_pass1, t_pass1_int8) else None
+                    # real published recipe (--seg_model gsam): presample
+                    # program + GroundedSAM device inference + table-
+                    # replay step, measured (VERDICT r2 weak #3)
+                    "step_seconds_gsam_recipe": (
+                        gsam["total"] if gsam else None
                     ),
+                    "imgs_per_sec_gsam_recipe": (
+                        round(batch_size / gsam["total"], 4)
+                        if gsam else None
+                    ),
+                    "gsam_recipe_breakdown": gsam,
+                    "sdxl": sdxl_detail,
                     "step_seconds_reduced": (
                         round(dt_reduced, 3) if dt_reduced else None
                     ),
