@@ -28,6 +28,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _bce_log(x: jnp.ndarray) -> jnp.ndarray:
+    """torch-BCELoss `max(log(x), -100)` with a NaN-free backward.
+
+    `jnp.maximum(jnp.log(jnp.maximum(x, eps)), -100)` poisons gradients
+    at x == 0: log's VJP emits 1/eps = inf, and maximum's transpose
+    MULTIPLIES the cotangent by the branch mask (inf * 0 = NaN) instead
+    of selecting. The old gather-based pixel loss got away with it —
+    the NaN cotangent died at a select-based `jnp.where` — but the
+    einsum word_map spreads any NaN cotangent across the whole
+    attention gradient through the matmul transpose. Clamp on the
+    primal with selects so the dead branch never sees log at all.
+    Forward is identical: x >= e^-100 -> log(x) (> -100 by
+    construction), else -100 (the clamp value torch uses for log(0)).
+    """
+    live = x > 3.72e-44  # e^-100; below this torch's clamp is active
+    safe = jnp.where(live, x, 1.0)
+    return jnp.where(live, jnp.log(safe), -100.0)
+
+
 def _resize_masks(masks: jnp.ndarray, res: int) -> jnp.ndarray:
     """(B, W, H0, W0) -> binarized (B, W, res, res) (tc_loss_utils.py:
     88-95: antialiased resize then `> 0`)."""
@@ -48,30 +67,32 @@ def grounding_losses_for_layer(
 ):
     """Returns (token_loss, pixel_loss), each (B,) — per-sample sums
     matching the reference's per-sample accumulation."""
-    B, heads, HW, _ = attn_maps[0].shape
+    B, heads, HW, C = attn_maps[0].shape
     res = int(round(HW ** 0.5))
     m = _resize_masks(masks, res).reshape(masks.shape[0], masks.shape[1], HW)
     n_words = jnp.maximum(word_valid.sum(-1), 1)  # (B,)
 
-    # Gather per-token attention: (B, heads, HW, W, T)
-    def gather_tokens(a):  # a: (B, heads, HW, 77)
-        g = jnp.take_along_axis(
-            a[:, :, :, None, None, :],  # (B,h,HW,1,1,77)
-            jnp.broadcast_to(
-                token_idx[:, None, None, :, :, None],
-                (B, heads, HW, token_idx.shape[1], token_idx.shape[2], 1),
-            ),
-            axis=-1,
-        )[..., 0]  # (B, heads, HW, W, T)
-        return g
+    # One-hot token selectors (B, W, T, C) replace a 5-D
+    # (B, heads, HW, W, T) take_along_axis gather: that tensor's
+    # trailing (W=8, T=8) dims pad to (8, 128) TPU tiles — a 16x HBM
+    # expansion whose 512MB fp32 einsum cotangent OOMed the 512px
+    # full-recipe step by itself. Contracting the attention maps
+    # against one-hots computes the identical sums with every
+    # intermediate MXU-shaped (trailing dim C=77 or HW), and turns the
+    # gather into batched matmuls.
+    E = (token_idx[..., None] == jnp.arange(C)[None, None, None]
+         ).astype(jnp.float32)  # (B, W, T, C)
 
     token_loss = jnp.zeros((B,), jnp.float32)
     for a in attn_maps:
-        g = gather_tokens(a.astype(jnp.float32))
-        # activation = sum_HW(ca * mask) / sum_HW(ca): (B, heads, W, T)
-        num = jnp.einsum("bhswt,bws->bhwt", g, m)
-        den = jnp.maximum(g.sum(axis=2), 1e-12)
-        act = num / den
+        af = a.astype(jnp.float32)
+        # activation = sum_HW(ca * mask) / sum_HW(ca) at each word
+        # token: numerator/denominator contracted over HW and C
+        colsum = af.sum(axis=2)  # (B, heads, C)
+        den = jnp.einsum("bhc,bwtc->bhwt", colsum, E)
+        masked = jnp.einsum("bhsc,bws->bhwc", af, m)  # (B, heads, W, C)
+        num = jnp.einsum("bhwc,bwtc->bhwt", masked, E)
+        act = num / jnp.maximum(den, 1e-12)
         act_mean = act.mean(axis=1)  # mean over heads -> (B, W, T)
         per_tok = (1.0 - act_mean) ** 2
         per_tok = jnp.where(token_valid, per_tok, 0.0)
@@ -83,24 +104,18 @@ def grounding_losses_for_layer(
     # pixel loss: average maps over layer instances AND heads
     avg = sum(a.astype(jnp.float32).mean(axis=1) for a in attn_maps) / len(
         attn_maps
-    )  # (B, HW, 77)
-    g = jnp.take_along_axis(
-        avg[:, :, None, None, :],
-        jnp.broadcast_to(
-            token_idx[:, None, :, :, None],
-            (B, HW, token_idx.shape[1], token_idx.shape[2], 1),
-        ),
-        axis=-1,
-    )[..., 0]  # (B, HW, W, T)
-    g = jnp.where(token_valid[:, None], g, 0.0)
-    word_map = g.sum(-1)  # (B, HW, W) — sum over the word's tokens
+    )  # (B, HW, C)
+    # per-word map = sum over the word's valid tokens; (B, W, HW)
+    # layout keeps the big HW dim on lanes (no tile padding)
+    WE = (E * token_valid[..., None].astype(jnp.float32)).sum(axis=2)
+    word_map = jnp.einsum("bsc,bwc->bws", avg, WE)  # (B, W, HW)
     word_map = jnp.clip(word_map, 0.0, 1.0)
-    tgt = m.transpose(0, 2, 1)  # (B, HW, W)
-    # torch BCELoss: clamp log terms at -100
-    log_p = jnp.maximum(jnp.log(jnp.maximum(word_map, 1e-44)), -100.0)
-    log_1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - word_map, 1e-44)), -100.0)
-    bce = -(tgt * log_p + (1.0 - tgt) * log_1p)  # (B, HW, W)
-    bce = bce.mean(axis=1)  # mean over pixels -> (B, W)
+    tgt = m  # (B, W, HW)
+    # torch BCELoss: clamp log terms at -100 (NaN-safe; see _bce_log)
+    log_p = _bce_log(word_map)
+    log_1p = _bce_log(1.0 - word_map)
+    bce = -(tgt * log_p + (1.0 - tgt) * log_1p)  # (B, W, HW)
+    bce = bce.mean(axis=-1)  # mean over pixels -> (B, W)
     bce = jnp.where(word_valid, bce, 0.0)
     pixel_loss = bce.sum(-1) / n_words
     return token_loss, pixel_loss

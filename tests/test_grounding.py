@@ -92,6 +92,52 @@ def test_grounding_losses_match_reference_math():
     np.testing.assert_allclose(float(pl[0]), want_pl, rtol=1e-4)
 
 
+def test_grounding_gradients_finite_with_padding():
+    """Regression: padded (invalid) words drive word_map to exactly 0,
+    whose clamped-BCE-log backward used to emit inf*0 = NaN that the
+    einsum transpose spread across the whole attention gradient."""
+    rng = np.random.RandomState(1)
+    B, heads, HW, C = 2, 4, 64, 77
+    W_max, T_max = 8, 8
+    logits = rng.randn(B, heads, HW, C).astype(np.float32)
+    a0 = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    masks = (rng.rand(B, W_max, 16, 16) > 0.5).astype(np.float32)
+    token_idx = np.zeros((B, W_max, T_max), np.int32)
+    token_valid = np.zeros((B, W_max, T_max), bool)
+    word_valid = np.zeros((B, W_max), bool)
+    for b in range(B):
+        for w in range(3):  # words 3.. stay padded (the NaN trigger)
+            token_idx[b, w, :2] = [2 * w + 1, 2 * w + 2]
+            token_valid[b, w, :2] = True
+            word_valid[b, w] = True
+
+    def loss(a):
+        tl, pl = grounding_losses_for_layer(
+            [a], jnp.asarray(masks), jnp.asarray(token_idx),
+            jnp.asarray(token_valid), jnp.asarray(word_valid),
+        )
+        return tl.sum() + pl.sum()
+
+    val, grad = jax.value_and_grad(loss)(a0)
+    assert np.isfinite(float(val))
+    assert bool(jnp.isfinite(grad).all())
+
+    # an all-padded (empty-parse) batch must also be grad-clean
+    none_valid = np.zeros_like(word_valid)
+    no_tok = np.zeros_like(token_valid)
+
+    def loss_empty(a):
+        tl, pl = grounding_losses_for_layer(
+            [a], jnp.asarray(masks), jnp.asarray(token_idx),
+            jnp.asarray(no_tok), jnp.asarray(none_valid),
+        )
+        return tl.sum() + pl.sum()
+
+    val2, grad2 = jax.value_and_grad(loss_empty)(a0)
+    assert float(val2) == 0.0
+    assert bool(jnp.isfinite(grad2).all())
+
+
 def test_extract_attribute_groups_heuristic():
     tok = HashTokenizer(1000)
     groups = extract_attribute_groups("a red car and a blue bird", tok)
