@@ -88,8 +88,15 @@ class BLIPVisionEncoder(nn.Module):
             jnp.float32,
         )
         x = x + pos[:, : x.shape[1]].astype(dt)
+        # Per-layer remat: the backward through the captioner otherwise
+        # keeps every layer's fp32 (B, heads, 577, 577) attention probs
+        # live at once (~2.2 GB at bs4) — the buffer that tipped the
+        # full-recipe step over v5e's 16 GB HBM. BLIP is frozen reward
+        # machinery; recomputing one ViT block per backward step is
+        # noise next to the UNet work.
+        block = nn.remat(ViTBlock)
         for i in range(cfg.vision_layers):
-            x = ViTBlock(
+            x = block(
                 cfg.vision_hidden_size, cfg.vision_heads,
                 cfg.vision_intermediate_size, dt, name=f"layers_{i}",
             )(x)
