@@ -206,6 +206,20 @@ class BLIPConfig:
         return BLIPConfig()
 
     @staticmethod
+    def base() -> "BLIPConfig":
+        """ViT-B/16 vision tower (Salesforce/blip-vqa-base geometry:
+        768-dim, 12 layers, 12 heads); the text towers are BERT-base in
+        both checkpoints. The VQA binding scorer must use this — the
+        vqa-base snapshot's vision kernels are 768-wide and will not
+        load into the captioner's ViT-L geometry."""
+        return BLIPConfig(
+            vision_hidden_size=768,
+            vision_layers=12,
+            vision_heads=12,
+            vision_intermediate_size=3072,
+        )
+
+    @staticmethod
     def tiny(vocab_size: int = 1000) -> "BLIPConfig":
         return BLIPConfig(
             image_size=64,

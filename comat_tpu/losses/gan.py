@@ -82,7 +82,13 @@ class Discriminator:
     ) -> jnp.ndarray:
         """(B, h, w, 1) classification logits at timestep t."""
         eps, _ = self.unet.apply(
-            params["unet"], latents, t, null_context, added_cond
+            params["unet"], latents, t, null_context, added_cond,
+            # fast=True: Pallas flash attention (custom-VJP) instead of
+            # the unfused XLA path. Without it the D-update backward
+            # materializes fp32 (2B, heads, 4096, 4096) attn1 probs at
+            # res 64 — a 4GB temp that OOMed the 512px full-recipe step
+            # and dominated the measured GAN tax.
+            fast=True,
         )
         if self.head is None:
             return eps  # conv_out already emits 1 channel

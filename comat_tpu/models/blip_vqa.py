@@ -185,15 +185,21 @@ def encode_fixed(tokenizer, texts, length: int):
 
 
 def build_answer_batch(tokenizer, answers, batch: int,
-                       max_length: int = 8) -> Tuple:
+                       max_length: int = 8,
+                       bos_token_id: int = None) -> Tuple:
     """(ids, labels) for one candidate answer, tiled to the batch.
-    BOS-led ids; labels ignore pads via -100 (HF text-decoder
-    convention; the first position is never scored — answer_loglik
-    shifts internally)."""
+    BOS-led ids: the leading token is FORCED to `bos_token_id` (BLIP's
+    rank_answer does `input_ids[:, 0] = bos_token_id` — the decoder
+    conditions on [DEC]=30522, not the tokenizer's [CLS]; scoring from
+    [CLS] shifts every answer log-likelihood). Labels ignore pads via
+    -100 (HF text-decoder convention; the first position is never
+    scored — answer_loglik shifts internally)."""
     import numpy as np
 
     ids, mask = encode_fixed(tokenizer, answers, max_length)
-    ids, mask = ids[:1], mask[:1]
+    ids, mask = ids[:1].copy(), mask[:1]
+    if bos_token_id is not None:
+        ids[:, 0] = bos_token_id
     labels = np.where(mask > 0, ids, IGNORE_INDEX)
     ids = np.tile(ids, (batch, 1))
     labels = np.tile(labels, (batch, 1))

@@ -116,6 +116,16 @@ def make_bvqa_scorer(args, blip_cfg):
         args.vqa_tokenizer_vocab
     ):
         q_tok = BertWordPieceTokenizer(args.vqa_tokenizer_vocab)
+    elif args.vqa_model_path:
+        # real weights + hash tokenizer = confidently wrong numbers;
+        # refuse instead of silently scoring garbage (the exact failure
+        # mode the --allow-smoke gate exists to prevent)
+        raise SystemExit(
+            "--vqa-model-path given but --vqa-tokenizer-vocab is "
+            f"missing or not a file ({args.vqa_tokenizer_vocab!r}); "
+            "real BLIP-VQA weights need the real WordPiece vocab "
+            "(vocab.txt from the same snapshot)."
+        )
     else:
         q_tok = HashTokenizer(blip_cfg.vocab_size)
     # CLIP-side tokenizer only drives group extraction token indices
@@ -124,8 +134,12 @@ def make_bvqa_scorer(args, blip_cfg):
     g_tok = (HashTokenizer(49408) if args.tiny
              else load_clip_tokenizer(args.tokenizer_dir))
 
-    yes_ids, yes_labels = build_answer_batch(q_tok, ["yes"], 1, Sa)
-    no_ids, no_labels = build_answer_batch(q_tok, ["no"], 1, Sa)
+    yes_ids, yes_labels = build_answer_batch(
+        q_tok, ["yes"], 1, Sa, bos_token_id=blip_cfg.bos_token_id
+    )
+    no_ids, no_labels = build_answer_batch(
+        q_tok, ["no"], 1, Sa, bos_token_id=blip_cfg.bos_token_id
+    )
 
     @jax.jit
     def p_yes(params, img, q_ids, q_mask):
@@ -223,7 +237,10 @@ def main(argv=None):
 
     bvqa = None
     if args.metric in ("bvqa_binding", "both"):
-        bcfg = BLIPConfig.tiny() if args.tiny else BLIPConfig.large()
+        # blip-vqa-base is ViT-B — .base(), NOT the captioner's ViT-L
+        # .large() (the snapshot's 768-wide vision kernels cannot load
+        # into a 1024-wide tree)
+        bcfg = BLIPConfig.tiny() if args.tiny else BLIPConfig.base()
         bvqa = make_bvqa_scorer(args, bcfg)
 
     @jax.jit
@@ -234,6 +251,11 @@ def main(argv=None):
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, eos_positions=eos,
         )
+        if args.metric == "bvqa_binding":
+            # caption reward unused for bvqa-only runs — don't pay a
+            # BLIP-large forward per image (args is static at trace)
+            return img, jnp.zeros((img.shape[0],), jnp.float32)
+
         # per-sample rewards: vmap the scalar reward over the batch
         def one(img_i, ids_i, mask_i, lab_i):
             return blip_caption_reward(

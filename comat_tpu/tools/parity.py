@@ -353,7 +353,7 @@ def check_blip_vqa(state_dict=None, hf_cfg=None, tol=1e-4):
             {k: torch.as_tensor(v) for k, v in state_dict.items()},
             strict=False,
         )
-        ours_cfg = BLIPConfig.large()
+        ours_cfg = BLIPConfig.base()  # blip-vqa-base is ViT-B
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
 
     vqa = BLIPVQA(BLIPConfig(**{**ours_cfg.__dict__,

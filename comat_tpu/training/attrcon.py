@@ -2,10 +2,13 @@
 
 Builds the `extra_losses` hook: chooses the attrcon step subset
 (reference: random.choices(training_steps, k=attrcon_train_steps) —
-training_script.py:590; with-replacement draws collapse to distinct
-timesteps in the attn dict, reproduced here by scattering 1s into a
-(K,) mask) and evaluates the grounding losses on the captured attention
-maps against per-noun segmentation masks.
+training_script.py:590) as (A,) with-replacement draws into the K
+trained segments. Capture runs ONLY at those A segments (the sampler
+receives the same draws as `capture_idx`), and duplicate draws get
+weight 0 in the grounding loss via `dedup_draw_weights` — matching the
+reference, where repeated draws collapse to one dict entry per
+timestep. The hook evaluates the grounding losses on the captured
+attention maps against per-noun segmentation masks.
 
 Masks arrive as an explicit batch input (`batch["seg_masks"]`,
 (B, max_words, H, W) uint8/float), NOT through an in-graph host
