@@ -229,6 +229,8 @@ def parse(prompt: str) -> List[Token]:
     last_pred_adj: Optional[Token] = None  # acomp for conj chains
     relativizer: Optional[Token] = None  # pending that/which
     expect_pred = False  # directly after a copula/verb (through ADVs)
+    conj_from_comma = False  # next conj arc licensed by "," not CCONJ
+    comma_conj: set = set()  # NP heads conj-attached via a bare comma
 
     def close_np() -> Optional[Token]:
         """Resolve the pending buffer into one NP: head = last noun;
@@ -270,6 +272,12 @@ def parse(prompt: str) -> List[Token]:
                 c.attach(head, "cc")
         if conj_head is not None:
             head.attach(conj_head, "conj")
+            if conj_from_comma:
+                # remember: this arc is only comma-licensed — if a
+                # copula/verb follows, it is really a new clause's
+                # subject ("a car and a cat, the car is larger ...")
+                # and gets re-attached as nsubj there
+                comma_conj.add(head.i)
         elif next_np_head is not None:
             head.attach(next_np_head, next_np_dep)
         else:
@@ -316,6 +324,7 @@ def parse(prompt: str) -> List[Token]:
             if any(t.pos_ in ("NOUN", "PROPN") for t in pending):
                 head = close_np()
                 conj_head = head
+                conj_from_comma = pos != "CCONJ"
                 if pos == "CCONJ":
                     tok.attach(head, "cc")
             elif pending:
@@ -323,6 +332,11 @@ def parse(prompt: str) -> List[Token]:
                 pending_cc.append(tok)
             elif last_pred_adj is not None and pos == "CCONJ":
                 tok.attach(last_pred_adj, "cc")
+            if pos == "CCONJ":
+                # an explicit coordinator re-licenses the pending conj
+                # arc ("a, b, and c" lists): the next NP is a true
+                # conjunct, not a comma-separated clause subject
+                conj_from_comma = False
             # a clause boundary comma with nothing pending: ignore
         elif pos == "ADP":
             subj = close_np()
@@ -365,6 +379,15 @@ def parse(prompt: str) -> List[Token]:
                     elif subj.dep_ == "ROOT":
                         subj.attach(tok, "nsubj")
                         subj.dep_ = "nsubj"
+                    elif subj.dep_ == "conj" and subj.i in comma_conj:
+                        # comma-licensed "conj" followed by a copula is
+                        # really a clause subject: "a car and a cat,
+                        # the car is larger than the cat" (the HRS
+                        # comparison family) — spacy parses the second
+                        # "car" as nsubj of "is", which is what the
+                        # verb-root extraction variant consumes
+                        subj.head._children.remove(subj)
+                        subj.attach(tok, "nsubj")
             last_verb = tok
             last_pred_adj = None
             next_np_head = tok
@@ -383,6 +406,14 @@ def parse(prompt: str) -> List[Token]:
                     if subj.head is None or subj.dep_ == "ROOT":
                         subj.attach(tok, "nsubj")
                         subj.dep_ = "nsubj"
+                elif (
+                    subj is not None
+                    and subj.dep_ == "conj"
+                    and subj.i in comma_conj
+                ):
+                    # comma-clause subject (see the AUX branch)
+                    subj.head._children.remove(subj)
+                    subj.attach(tok, "nsubj")
             last_verb = tok
             last_pred_adj = None
             next_np_head = tok

@@ -164,9 +164,76 @@ def agreement(prompts: List[str], cache: Dict[str, dict],
     }
 
 
+def gap_analysis(prompts: List[str], tokenizer) -> Dict:
+    """Classify every ZERO-group prompt (VERDICT r3 task 6): is the
+    zero reference-FAITHFUL (the reference pipeline would also produce
+    no trainable group, because the prompt has no attribute words, or
+    its only subtrees die in the reference's own >=4-member /
+    blacklist / duplicate-noun filters —
+    AttrConcenTrainableSDPipeline.py:281-295,
+    gsam_interface.py:232-261), or a genuine miniparse MISS (the
+    surface text contains a lexicon adjective the grammar failed to
+    attach)? The miss buckets bound the true miniparse<->spacy gap
+    from the miniparse side; `parse_stats agree` against a real
+    en_core_web_trf export remains the exact check."""
+    import re
+
+    cats: collections.Counter = collections.Counter()
+    examples: Dict[str, List[str]] = collections.defaultdict(list)
+    comparative = re.compile(
+        r"\bis (bigger|larger|smaller|taller|shorter|longer|wider"
+        r"|higher|lower|faster|slower) than\b"
+    )
+    for p in prompts:
+        groups = linguistics.extract_attribute_groups(p, tokenizer, 77)
+        if groups:
+            cats["has_groups"] += 1
+            continue
+        doc = linguistics.parse_prompt(p)
+        v = linguistics.unify_lists(
+            linguistics.extract_attribution_indices(doc) or [],
+            linguistics.extract_attribution_indices_with_verb_root(doc)
+            or [],
+            linguistics.extract_attribution_indices_with_verbs(doc) or [],
+        )
+        if v and all(len(s) >= 4 for s in v):
+            key = "faithful_zero_ref_4member_filter"
+        elif v and linguistics.align_indices(
+            p, [s for s in v if len(s) < 4], tokenizer
+        ):
+            key = "faithful_zero_ref_blacklist_or_duplicate"
+        elif v:
+            key = "miss_alignment_failure"
+        else:
+            ws = [w.strip(".,;:!?\"'()").lower() for w in p.split()]
+            if not any(w in miniparse.ADJECTIVES for w in ws):
+                key = "faithful_zero_no_attribute_words"
+            elif comparative.search(p.lower()):
+                key = "miss_comparative_clause"
+            else:
+                key = "miss_unattached_adjective"
+        cats[key] += 1
+        if key.startswith("miss") and len(examples[key]) < 25:
+            examples[key].append(p)
+    n = len(prompts)
+    faithful = sum(v for k, v in cats.items() if k.startswith("faithful"))
+    missed = sum(v for k, v in cats.items() if k.startswith("miss"))
+    return {
+        "prompts": n,
+        "group_yield": round(cats["has_groups"] / max(n, 1), 4),
+        "max_reference_faithful_yield": round(
+            (cats["has_groups"] + missed) / max(n, 1), 4
+        ),
+        "zero_group_breakdown": dict(cats),
+        "reference_faithful_zeros": faithful,
+        "miniparse_miss_upper_bound": missed,
+        "miss_examples": {k: v for k, v in examples.items()},
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("mode", choices=("stats", "export", "agree"))
+    ap.add_argument("mode", choices=("stats", "export", "agree", "gap"))
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--out", default=None)
@@ -204,6 +271,13 @@ def main(argv=None):
             else "miniparse",
             "tokenizer": type(tokenizer).__name__,
             **corpus_stats(prompts, tokenizer),
+        }
+    elif args.mode == "gap":
+        rec = {
+            "corpus": args.corpus,
+            "parser": "miniparse",
+            "tokenizer": type(tokenizer).__name__,
+            **gap_analysis(prompts, tokenizer),
         }
     else:
         if not args.cache:

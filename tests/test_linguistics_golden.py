@@ -260,3 +260,43 @@ def test_extract_groups_spacy_free_against_corpus_sample():
         n_with_groups += bool(gs)
     # abc5k is an attribute-binding corpus: most lines must yield groups
     assert n_with_groups >= 35
+
+
+def test_comparative_clause_family_yields_groups():
+    """The HRS size-comparison family ("a car and a cat, the car is
+    larger than the cat") — the comma-separated second clause's subject
+    must parse as nsubj of the copula so the verb-root variant fires
+    (reference spacy behavior; the reference's noun-comes-first quirk
+    then makes the PREDICATE adjective the group 'noun' —
+    attribute_concen_utils.py:95-131). 167 of the merged-20k corpus's
+    zero-group prompts were this family before the miniparse comma-
+    clause repair (data/parse_gap_analysis_20k.json)."""
+    from comat_tpu.text.linguistics import extract_attribute_groups
+    from comat_tpu.text.tokenizer import HashTokenizer
+
+    tok = HashTokenizer(49408)
+    for prompt, adj in [
+        ("a car and a cat, the car is larger than the cat.", "larger"),
+        ("a dog and a chair, the dog is bigger than the chair.",
+         "bigger"),
+        ("a horse and a airplane, the horse is smaller than the "
+         "airplane.", "smaller"),
+    ]:
+        gs = extract_attribute_groups(prompt, tok, 77)
+        assert len(gs) == 1, (prompt, gs)
+        assert gs[0].noun == adj, gs
+        # group tokens: the clause subject + the predicate adjective
+        assert len(gs[0].token_indices) == 2, gs
+
+
+def test_comma_list_coordination_unchanged_by_clause_repair():
+    """Comma lists must keep their conj structure (the repair only
+    fires when a copula/verb follows the comma-joined NP)."""
+    from comat_tpu.text.linguistics import extract_attribute_groups
+    from comat_tpu.text.tokenizer import HashTokenizer
+
+    tok = HashTokenizer(49408)
+    gs = extract_attribute_groups(
+        "a red car, a blue bird, and a green bench", tok, 77
+    )
+    assert [g.noun for g in gs] == ["car", "bird", "bench"], gs
