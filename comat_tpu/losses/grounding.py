@@ -41,8 +41,15 @@ def _bce_log(x: jnp.ndarray) -> jnp.ndarray:
     primal with selects so the dead branch never sees log at all.
     Forward is identical: x >= e^-100 -> log(x) (> -100 by
     construction), else -100 (the clamp value torch uses for log(0)).
+
+    The live threshold is the smallest fp32 NORMAL, not e^-100: a
+    subnormal live x (e.g. 1e-40) would give 1/x = inf in the backward
+    on a non-flush-to-zero backend, and that inf becomes NaN through
+    the einsum transpose (inf * 0) — the exact failure this helper
+    exists to prevent (ADVICE r3). Forward deviation vs torch's clamp
+    is confined to subnormals torch also maps to ~[-100, -87.3].
     """
-    live = x > 3.72e-44  # e^-100; below this torch's clamp is active
+    live = x >= jnp.finfo(jnp.float32).tiny  # smallest normal ~1.18e-38
     safe = jnp.where(live, x, 1.0)
     return jnp.where(live, jnp.log(safe), -100.0)
 

@@ -474,7 +474,14 @@ def convert_tree(
             return leaf
         name, f = res
         if name not in hf_tensors:
-            missing.append(f"{'/'.join(keys)} -> {name}")
+            # LoRA leaves are optional: base snapshots carry no adapter
+            # tensors (the reference injects FRESH LoRA over the loaded
+            # base — training_utils/pipeline.py:87-115), so their
+            # absence keeps the fresh init and is not a miss. When the
+            # tensors ARE present (twin fixtures, resumed exports) they
+            # load like any other leaf.
+            if not any(k.startswith("lora_") for k in keys):
+                missing.append(f"{'/'.join(keys)} -> {name}")
             return leaf
         arr = f(hf_tensors[name]).astype(np.asarray(leaf).dtype)
         assert arr.shape == leaf.shape, (

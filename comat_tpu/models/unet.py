@@ -301,11 +301,30 @@ class UNet2DCondition(nn.Module):
         # residuals for one bs-12 SDXL segment need >20GB; reference:
         # unet.enable_gradient_checkpointing(),
         # training_utils/pipeline.py:73-77).
-        Res = nn.remat(ResnetBlock) if remat else ResnetBlock
-        Tx = (
-            nn.remat(Transformer2D, static_argnums=(3, 4))
-            if remat else Transformer2D
-        )
+        #
+        # `remat` may also be an int R: SELECTIVE remat — only blocks
+        # whose working spatial resolution is >= R recompute. The
+        # high-res blocks own almost all of the residual footprint
+        # (their activations are 4x/16x the next level's) but a small
+        # share of the FLOPs, so remat'ing only them buys most of the
+        # memory at a fraction of full remat's recompute cost. This is
+        # what fits the SD1.5 full recipe in a 16GB v5e without paying
+        # whole-UNet recompute (the bs-4 512px step's segment backward
+        # exceeds 15.75GB HBM by ~0.3GB un-remat'd — BENCH r4 OOM log).
+        def _remat_at(r: int) -> bool:
+            if remat is True:
+                return True
+            if not remat:          # False / None / 0
+                return False
+            return r >= int(remat)
+
+        def _blocks(r: int):
+            if _remat_at(r):
+                return (
+                    nn.remat(ResnetBlock),
+                    nn.remat(Transformer2D, static_argnums=(3, 4)),
+                )
+            return ResnetBlock, Transformer2D
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (B,))
 
@@ -351,6 +370,7 @@ class UNet2DCondition(nn.Module):
         for i, (btype, ch) in enumerate(
             zip(cfg.down_block_types, cfg.block_out_channels)
         ):
+            Res, Tx = _blocks(sample.shape[1])
             for j in range(cfg.layers_per_block):
                 sample = Res(
                     ch, cfg.norm_num_groups, dt,
@@ -374,6 +394,7 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
+        Res, Tx = _blocks(sample.shape[1])
         sample = Res(
             mid_ch, cfg.norm_num_groups, dt, name="mid_resnet_0"
         )(sample, temb)
@@ -397,6 +418,7 @@ class UNet2DCondition(nn.Module):
         rev_tx = tuple(reversed(cfg.transformer_layers_per_block))
         for i, btype in enumerate(cfg.up_block_types):
             ch = rev_ch[i]
+            Res, Tx = _blocks(sample.shape[1])
             for j in range(cfg.layers_per_block + 1):
                 res_h = res_stack.pop()
                 sample = Res(

@@ -30,9 +30,13 @@ K-schedule, attrcon draws, crop offsets) is injected as explicit
 arrays, generated once by the fixture harness (tools/parity.py
 check_step_loss_twin / tests/test_step_loss_fixture.py).
 
-Everything is torch.no_grad-able: the fixture checks the step LOSS
-(a forward quantity); gradient structure is covered by
-tests/test_sampler.py against the unrolled reference semantics.
+The fixture checks BOTH the step LOSS and, with `differentiable=True`,
+the step GRADIENTS: comat_step_loss_torch replays the reference's
+grad-toggle semantics (TrainableSDPipeline.py:133-167) under torch
+autograd, and the fixture compares dLoss/d(LoRA) leaf-by-leaf against
+jax.grad of the real training loss (training.train_step.make_loss_fn)
+— an implementation-independent check of the selective-gradient
+structure that tests/test_sampler.py could only test JAX-vs-JAX.
 """
 
 from __future__ import annotations
@@ -155,32 +159,70 @@ class TwinResnetBlock(nn.Module):
         return x + h
 
 
-class TwinAttention(nn.Module):
-    """Unfused attention returning softmax probs (fp32)."""
+class _TwinLoRA(nn.Module):
+    """diffusers LoRALinearLayer: down ~ N(0, 1/rank), up = 0, scale 1
+    (the exact layer the reference injects —
+    training_utils/pipeline.py:87-115)."""
 
-    def __init__(self, dim: int, ctx_dim: int, heads: int):
+    def __init__(self, in_features: int, out_features: int, rank: int):
+        super().__init__()
+        self.down = nn.Linear(in_features, rank, bias=False)
+        self.up = nn.Linear(rank, out_features, bias=False)
+        nn.init.normal_(self.down.weight, std=1.0 / rank)
+        nn.init.zeros_(self.up.weight)
+
+    def forward(self, x):
+        return self.up(self.down(x))
+
+
+class TwinAttention(nn.Module):
+    """Unfused attention returning softmax probs (fp32).
+
+    `lora_rank > 0` attaches diffusers-layout LoRA adapters to
+    q/k/v/out under `processor.{to_q,to_k,to_v,to_out}_lora` — the
+    state-dict names diffusers' LoRAAttnProcessor uses and
+    models/hf_import._unet_hf_name maps, so the JAX LoRA tree loads
+    from the twin's state_dict like every base weight."""
+
+    def __init__(self, dim: int, ctx_dim: int, heads: int,
+                 lora_rank: int = 0):
         super().__init__()
         self.heads = heads
         self.to_q = nn.Linear(dim, dim, bias=False)
         self.to_k = nn.Linear(ctx_dim, dim, bias=False)
         self.to_v = nn.Linear(ctx_dim, dim, bias=False)
         self.to_out = nn.ModuleList([nn.Linear(dim, dim)])
+        self.processor = None
+        if lora_rank > 0:
+            self.processor = nn.Module()
+            self.processor.to_q_lora = _TwinLoRA(dim, dim, lora_rank)
+            self.processor.to_k_lora = _TwinLoRA(ctx_dim, dim, lora_rank)
+            self.processor.to_v_lora = _TwinLoRA(ctx_dim, dim, lora_rank)
+            self.processor.to_out_lora = _TwinLoRA(dim, dim, lora_rank)
 
     def forward(self, x, context=None):
         ctx = x if context is None else context
         B, N, C = x.shape
         L = ctx.shape[1]
         h = self.heads
-        q = self.to_q(x).reshape(B, N, h, C // h).permute(0, 2, 1, 3)
-        k = self.to_k(ctx).reshape(B, L, h, C // h).permute(0, 2, 1, 3)
-        v = self.to_v(ctx).reshape(B, L, h, C // h).permute(0, 2, 1, 3)
+        q_p, k_p, v_p = self.to_q(x), self.to_k(ctx), self.to_v(ctx)
+        if self.processor is not None:
+            q_p = q_p + self.processor.to_q_lora(x)
+            k_p = k_p + self.processor.to_k_lora(ctx)
+            v_p = v_p + self.processor.to_v_lora(ctx)
+        q = q_p.reshape(B, N, h, C // h).permute(0, 2, 1, 3)
+        k = k_p.reshape(B, L, h, C // h).permute(0, 2, 1, 3)
+        v = v_p.reshape(B, L, h, C // h).permute(0, 2, 1, 3)
         scale = (C // h) ** -0.5
         probs = torch.softmax(
             (q.float() @ k.float().transpose(-1, -2)) * scale, dim=-1
         )
         out = probs @ v.float()
         out = out.permute(0, 2, 1, 3).reshape(B, N, C)
-        return self.to_out[0](out), probs  # probs (B, h, N, L)
+        o = self.to_out[0](out)
+        if self.processor is not None:
+            o = o + self.processor.to_out_lora(out)
+        return o, probs  # probs (B, h, N, L)
 
 
 class TwinFeedForward(nn.Module):
@@ -200,12 +242,13 @@ class TwinFeedForward(nn.Module):
 
 
 class TwinTransformerBlock(nn.Module):
-    def __init__(self, dim: int, ctx_dim: int, heads: int):
+    def __init__(self, dim: int, ctx_dim: int, heads: int,
+                 lora_rank: int = 0):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, eps=1e-5)
-        self.attn1 = TwinAttention(dim, dim, heads)
+        self.attn1 = TwinAttention(dim, dim, heads, lora_rank)
         self.norm2 = nn.LayerNorm(dim, eps=1e-5)
-        self.attn2 = TwinAttention(dim, ctx_dim, heads)
+        self.attn2 = TwinAttention(dim, ctx_dim, heads, lora_rank)
         self.norm3 = nn.LayerNorm(dim, eps=1e-5)
         self.ff = TwinFeedForward(dim)
 
@@ -219,12 +262,12 @@ class TwinTransformerBlock(nn.Module):
 
 class TwinTransformer2D(nn.Module):
     def __init__(self, dim: int, ctx_dim: int, heads: int, layers: int,
-                 groups: int):
+                 groups: int, lora_rank: int = 0):
         super().__init__()
         self.norm = nn.GroupNorm(groups, dim, eps=1e-6)
         self.proj_in = nn.Linear(dim, dim)
         self.transformer_blocks = nn.ModuleList(
-            [TwinTransformerBlock(dim, ctx_dim, heads)
+            [TwinTransformerBlock(dim, ctx_dim, heads, lora_rank)
              for _ in range(layers)]
         )
         self.proj_out = nn.Linear(dim, dim)
@@ -245,14 +288,15 @@ class TwinTransformer2D(nn.Module):
 
 class _DownBlock(nn.Module):
     def __init__(self, cin, cout, temb_dim, groups, layers, cross,
-                 ctx_dim, heads, downsample):
+                 ctx_dim, heads, downsample, lora_rank=0):
         super().__init__()
         self.resnets = nn.ModuleList(
             [TwinResnetBlock(cin if j == 0 else cout, cout, temb_dim,
                              groups) for j in range(layers)]
         )
         self.attentions = nn.ModuleList(
-            [TwinTransformer2D(cout, ctx_dim, heads, 1, groups)
+            [TwinTransformer2D(cout, ctx_dim, heads, 1, groups,
+                               lora_rank)
              for _ in range(layers)]
         ) if cross else None
         if downsample:
@@ -265,14 +309,15 @@ class _DownBlock(nn.Module):
 
 class _UpBlock(nn.Module):
     def __init__(self, cins, cout, temb_dim, groups, layers, cross,
-                 ctx_dim, heads, upsample):
+                 ctx_dim, heads, upsample, lora_rank=0):
         super().__init__()
         self.resnets = nn.ModuleList(
             [TwinResnetBlock(cins[j], cout, temb_dim, groups)
              for j in range(layers)]
         )
         self.attentions = nn.ModuleList(
-            [TwinTransformer2D(cout, ctx_dim, heads, 1, groups)
+            [TwinTransformer2D(cout, ctx_dim, heads, 1, groups,
+                               lora_rank)
              for _ in range(layers)]
         ) if cross else None
         if upsample:
@@ -293,7 +338,7 @@ class TwinUNet(nn.Module):
                  down_types=("cross", "cross", "cross", "down"),
                  up_types=("up", "cross", "cross", "cross"),
                  layers_per_block=2, heads=2, ctx_dim=32, groups=8,
-                 in_channels=4, out_channels=4):
+                 in_channels=4, out_channels=4, lora_rank=0):
         super().__init__()
         self.layers_per_block = layers_per_block
         temb_dim = block_out[0] * 4
@@ -308,6 +353,7 @@ class TwinUNet(nn.Module):
             self.down_blocks.append(_DownBlock(
                 cin, ch, temb_dim, groups, layers_per_block,
                 bt == "cross", ctx_dim, heads, downsample=i < n - 1,
+                lora_rank=lora_rank,
             ))
             cin = ch
 
@@ -318,7 +364,8 @@ class TwinUNet(nn.Module):
             TwinResnetBlock(mid_ch, mid_ch, temb_dim, groups),
         ])
         self.mid_block.attentions = nn.ModuleList(
-            [TwinTransformer2D(mid_ch, ctx_dim, heads, 1, groups)]
+            [TwinTransformer2D(mid_ch, ctx_dim, heads, 1, groups,
+                               lora_rank)]
         )
 
         # up blocks: channel bookkeeping mirrors the skip-concat order
@@ -340,6 +387,7 @@ class TwinUNet(nn.Module):
             self.up_blocks.append(_UpBlock(
                 cins, ch, temb_dim, groups, layers_per_block + 1,
                 bt == "cross", ctx_dim, heads, upsample=i < n - 1,
+                lora_rank=lora_rank,
             ))
 
         self.conv_norm_out = nn.GroupNorm(groups, block_out[0], eps=1e-5)
@@ -507,21 +555,22 @@ def grounding_losses_torch(attn_maps: List["torch.Tensor"],
     attn_utils/tc_loss_utils.py:66-167 (token: (1 - inside-mask
     fraction)^2 meaned over heads and tokens; pixel: BCE of the
     head-and-instance-averaged per-word map, log terms clamped at -100
-    like torch BCELoss)."""
+    like torch BCELoss). Accumulation is out-of-place (python lists,
+    stacked at the end) so torch autograd can differentiate through it
+    for the gradient-parity fixture."""
     B, heads, N, _ = attn_maps[0].shape
     res = int(round(N ** 0.5))
-    token_loss = torch.zeros(B)
-    pixel_loss = torch.zeros(B)
     # resize + binarize GT masks to layer res (tc_loss_utils.py:88-98)
     m = F.interpolate(
         masks.float(), size=(res, res), mode="bilinear", antialias=True
     )
     m = (m > 0.0).float().reshape(B, -1, N)  # (B, W, N)
     avg = torch.stack([a.float().mean(dim=1) for a in attn_maps]).mean(0)
+    token_rows, pixel_rows = [], []
     for b in range(B):
+        tok_b = torch.zeros(())
+        pix_b = torch.zeros(())
         words = [w for w in range(token_idx.shape[1]) if word_valid[b, w]]
-        if not words:
-            continue
         for w in words:
             toks = [int(t) for t, ok in zip(token_idx[b, w],
                                             token_valid[b, w]) if ok]
@@ -535,7 +584,7 @@ def grounding_losses_torch(attn_maps: List["torch.Tensor"],
                         1e-12
                     )
                     obj = obj + (1.0 - act.mean()) ** 2
-                token_loss[b] += obj / max(len(toks), 1) / len(words)
+                tok_b = tok_b + obj / max(len(toks), 1) / len(words)
             # pixel loss: word map = sum over tokens of the averaged map
             wmap = avg[b][:, toks].sum(-1).clamp(0.0, 1.0)  # (N,)
             logp = torch.log(wmap.clamp_min(1e-44)).clamp_min(-100.0)
@@ -543,8 +592,10 @@ def grounding_losses_torch(attn_maps: List["torch.Tensor"],
                 (1.0 - wmap).clamp_min(1e-44)
             ).clamp_min(-100.0)
             bce = -(mask_w * logp + (1.0 - mask_w) * log1p).mean()
-            pixel_loss[b] += bce / len(words)
-    return token_loss, pixel_loss
+            pix_b = pix_b + bce / len(words)
+        token_rows.append(tok_b)
+        pixel_rows.append(pix_b)
+    return torch.stack(token_rows), torch.stack(pixel_rows)
 
 
 def arr_iter(xs):
@@ -587,17 +638,43 @@ def comat_step_loss_torch(
     mask_token_loss_weight: float = 1e-3,
     mask_pixel_loss_weight: float = 5e-5,
     resolution: int = 128,
+    differentiable: bool = False,
 ) -> Dict[str, float]:
     """Returns {step_loss, reward_blip, G_loss, token_loss, pixel_loss}
     — the reference's loss assembly (training_script.py:592-664) in
-    torch fp32 on injected randomness."""
+    torch fp32 on injected randomness.
+
+    `differentiable=True` replays the reference's EXACT grad-toggle
+    semantics with torch autograd instead of running under no_grad
+    (TrainableSDPipeline.py:132-167 with the trainer's hardcoded flags
+    bp_on_trained=True, detach_gradient=True, double_laststep=False —
+    training_script.py:558-566):
+
+      - grads enabled around the UNet call only at i in trained steps,
+        whose input latent stays attached (:138,:141-145);
+      - the scheduler step carries grads from min(trained) onward
+        (:163), so earlier trained steps' gradients flow through later
+        segments' inputs (the nested-segment chain);
+      - at non-trained steps the UNet input is detached and its output
+        is a constant.
+
+    The forward values are bit-identical in both modes (grad mode does
+    not change torch kernels' math). In differentiable mode the dict
+    additionally carries "_loss" (the loss tensor, for .backward()) —
+    the caller sets requires_grad on the parameter subset of interest
+    (the gradient-parity fixture enables the generator UNet's LoRA,
+    matching the JAX step's trainable surface)."""
     assert torch is not None, "torch twin requires torch"
     acp = ddpm_tables()
     ts = ddpm_timesteps(num_inference_steps)
     step_ratio = 1000 // num_inference_steps
     B = input_ids.shape[0]
+    dg = bool(differentiable)
 
     with torch.no_grad():
+        # prompt embeds are grad-free (text encoder not trained here;
+        # reference encodes with grads only iff tuning the text tower —
+        # TrainableSDPipeline.py:72-92)
         ctx = text_model(
             input_ids=torch.as_tensor(input_ids, dtype=torch.long)
         ).last_hidden_state.float()
@@ -606,30 +683,40 @@ def comat_step_loss_torch(
         ).last_hidden_state.float()
         ctx2 = torch.cat([nctx, ctx], dim=0)  # uncond first
 
-        # ---- denoise loop (TrainableSDPipeline.py:132-185) ----
-        attr_steps = {int(trained_idx[int(a)]) for a in attrcon_draws}
-        x = torch.as_tensor(latents0).permute(0, 3, 1, 2).float()
-        captured_by_step: Dict[int, Dict[str, list]] = {}
-        for i in range(num_inference_steps):
-            lat2 = torch.cat([x, x], dim=0)
-            t = torch.as_tensor(int(ts[i]))
+    # ---- denoise loop (TrainableSDPipeline.py:132-185) ----
+    trained_set = {int(t) for t in trained_idx}
+    min_trained = min(trained_set)
+    attr_steps = {int(trained_idx[int(a)]) for a in attrcon_draws}
+    x = torch.as_tensor(latents0).permute(0, 3, 1, 2).float()
+    captured_by_step: Dict[int, Dict[str, list]] = {}
+    for i in range(num_inference_steps):
+        t = torch.as_tensor(int(ts[i]))
+        is_trained = i in trained_set
+        # reference :138 — UNet grads only at trained steps; :141-145 —
+        # input detached unless trained (bp_on_trained)
+        with torch.set_grad_enabled(dg and is_trained):
+            xin = x if is_trained else x.detach()
             if i in attr_steps:
                 # reference _attrcon_forward: split cond/uncond calls,
                 # capture the cond half
                 # (AttrConcenTrainableSDPipeline.py:239-279)
-                eps_c, caps = unet(x, t, ctx, capture_layers)
-                eps_u, _ = unet(x, t, nctx)
+                eps_c, caps = unet(xin, t, ctx, capture_layers)
+                eps_u, _ = unet(xin, t, nctx)
                 eps2 = torch.cat([eps_u, eps_c], dim=0)
                 captured_by_step[i] = caps
             else:
+                lat2 = torch.cat([xin, xin], dim=0)
                 eps2, _ = unet(lat2, t, ctx2)
             eps_u, eps_c = eps2[:B], eps2[B:]
             eps = eps_u + guidance_scale * (eps_c - eps_u)
+        # reference :163 — scheduler chain attached from min(trained)
+        with torch.set_grad_enabled(dg and i >= min_trained):
             noise = torch.as_tensor(
                 noise_table[i]
             ).permute(0, 3, 1, 2).float()
             x = ddpm_step(acp, int(ts[i]), step_ratio, x, eps, noise)
 
+    with torch.set_grad_enabled(dg):
         # ---- VAE decode (TrainableSDPipeline.py:219-223) ----
         image = vae(x / vae_scaling) / 2.0 + 0.5  # (B, 3, H, W)
 
@@ -654,7 +741,7 @@ def comat_step_loss_torch(
             labels=torch.as_tensor(caption_labels, dtype=torch.long),
         ).loss
         reward = -blip_loss
-        loss = -(reward_weight * float(reward))
+        loss = -(reward_weight * reward)
 
         # ---- GAN G side (gan_sdxl.py:50-89) ----
         g_loss = None
@@ -669,7 +756,7 @@ def comat_step_loss_torch(
             g_loss = F.binary_cross_entropy_with_logits(
                 logits, torch.ones_like(logits)
             )
-            loss = loss + gan_loss_weight * float(g_loss)
+            loss = loss + gan_loss_weight * g_loss
 
         # ---- attrcon grounding (training_script.py:627-642,
         # gsam_interface.py:204-226) ----
@@ -688,13 +775,16 @@ def comat_step_loss_torch(
                 pixel_total = pixel_total + pl.sum()
         token_total = token_total / B
         pixel_total = pixel_total / B
-        loss = loss + mask_token_loss_weight * float(token_total)
-        loss = loss + mask_pixel_loss_weight * float(pixel_total)
+        loss = loss + mask_token_loss_weight * token_total
+        loss = loss + mask_pixel_loss_weight * pixel_total
 
-    return {
+    out = {
         "step_loss": float(loss),
         "reward_blip": float(reward),
         "G_loss": float(g_loss) if g_loss is not None else None,
         "token_loss": float(token_total),
         "pixel_loss": float(pixel_total),
     }
+    if differentiable:
+        out["_loss"] = loss
+    return out

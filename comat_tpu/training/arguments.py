@@ -95,6 +95,10 @@ def parse_args(argv=None):
                    choices=[None, "no", "fp16", "bf16"],
                    help="TPU build always computes bf16 w/ fp32 LoRA")
     p.add_argument("--gradient_checkpointing", action="store_true")
+    # TPU extension (no reference analogue): selective remat — only
+    # UNet blocks at spatial res >= this recompute. 64 fits the SD1.5
+    # full recipe in 16GB HBM at a fraction of full remat's cost.
+    p.add_argument("--remat_min_res", type=int, default=None)
     p.add_argument("--pass1_int8", action="store_true",
                    help="W8A8 int8 numerics for the no-grad pass-1 "
                         "sampling forwards (models/quant.py); the "

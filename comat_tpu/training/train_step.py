@@ -65,6 +65,14 @@ class TrainConfig:
     # to fit the SDXL recipe on 16GB chips; pure overhead for SD1.5
     # on v5e (its un-remat'd residuals fit), so it stays opt-in.
     gradient_checkpointing: bool = False
+    # --remat_min_res: SELECTIVE remat — recompute only UNet blocks at
+    # spatial resolution >= this value (models/unet.py). The 64-res
+    # blocks hold most of the residual bytes but few of the FLOPs, so
+    # remat_min_res=64 fits the SD1.5 full recipe in 16GB HBM (which
+    # OOMs by ~0.3GB un-remat'd) WITHOUT full-UNet recompute, keeping
+    # pass-1 LoRA fusion and unchunked VAE decode. Overrides
+    # gradient_checkpointing's remat when set.
+    remat_min_res: Optional[int] = None
     # --pass1_int8: W8A8 dynamic quantization for the 50 no-grad pass-1
     # UNet forwards (models/quant.py) — opt-in numerics relaxation
     # beyond the reference's fp16 no-grad sampling; the differentiable
@@ -270,37 +278,16 @@ def init_disc_state(d_params, d_optimizer) -> Tuple[DiscState, Any]:
     ), frozen
 
 
-def make_train_step(
-    pipeline: DiffusionPipeline,
-    blip_module,
-    cfg: TrainConfig,
-    optimizer: optax.GradientTransformation,
-    extra_losses: Optional[Callable] = None,
-    disc=None,
-    d_optimizer: Optional[optax.GradientTransformation] = None,
-):
-    """Build the jitted train step.
+def _make_null_ctx_for_d(pipeline: DiffusionPipeline, disc):
+    """D's text condition (shared by the G-loss and the D update).
 
-    With `disc` (a losses.gan.Discriminator) and `d_optimizer`, the step
-    performs the reference's full G-then-D sequence in one XLA program
-    (training_script.py:556-694): G update with the GAN G-loss added,
-    then the D update on detached latents + ground-truth latents from
-    the batch ("gt_latents").
-
-    extra_losses(merged_params, batch, image, result, rng) ->
-    (loss_add, metrics_dict) — hook for grounding losses.
-    """
-    from comat_tpu.diffusion.schedulers import inference_timesteps
-    from comat_tpu.losses.gan import gan_d_loss, gan_g_loss
-
-    t_final = int(inference_timesteps(cfg.total_step)[-1])
+    The reference computes D's null-text condition once from D's own
+    (identical-weight) text encoder (gan_sdxl.py:134-155); shared
+    weights make it the same vector. With --condition_discriminator,
+    the G side conditions D on the actual prompts instead
+    (gan_sdxl.py:59-66)."""
 
     def null_ctx_for_d(params, batch, condition: bool = False):
-        # The reference computes D's null-text condition once from D's
-        # own (identical-weight) text encoder (gan_sdxl.py:134-155);
-        # shared weights make it the same vector. With
-        # --condition_discriminator, the G side conditions D on the
-        # actual prompts instead (gan_sdxl.py:59-66).
         ids = batch["input_ids"] if condition else batch["null_ids"]
         if disc is not None and disc.gan_cfg.cross_arch:
             # SD1.5-arch D under an SDXL generator (the published SDXL
@@ -318,6 +305,36 @@ def make_train_step(
         if pipeline.cfg.is_sdxl:
             added = pipeline.sdxl_added_cond(enc.pooled, ids.shape[0])
         return jax.lax.stop_gradient(enc.context), added
+
+    return null_ctx_for_d
+
+
+def make_loss_fn(
+    pipeline: DiffusionPipeline,
+    blip_module,
+    cfg: TrainConfig,
+    extra_losses: Optional[Callable] = None,
+    disc=None,
+):
+    """Build the G-side loss function (the differentiated quantity).
+
+    Exposed separately from make_train_step so cross-implementation
+    checks can differentiate the EXACT training loss: the step-loss
+    fixture (tools/step_loss_fixture.py) runs jax.grad over this
+    against the torch twin's autograd — per VERDICT r3 task 2, the
+    gradient-level parity check of the reference's grad-toggle
+    semantics (TrainableSDPipeline.py:133-167,
+    training_script.py:563-566,644-651).
+
+    Signature: loss_fn(trainable, frozen, blip_params, batch, rng,
+    d_params) -> (loss, (metrics, gen_latents)); `rng` is the
+    post-fold_in per-step rng.
+    """
+    from comat_tpu.diffusion.schedulers import inference_timesteps
+    from comat_tpu.losses.gan import gan_g_loss
+
+    t_final = int(inference_timesteps(cfg.total_step)[-1])
+    null_ctx_for_d = _make_null_ctx_for_d(pipeline, disc)
 
     def loss_fn(trainable, frozen, blip_params, batch, rng, d_params):
         params = merge_params(trainable, frozen)
@@ -360,7 +377,8 @@ def make_train_step(
             # replay segments (diff w.r.t. the trainable subtree only)
             trainable=trainable,
             frozen=frozen,
-            remat=cfg.gradient_checkpointing,
+            remat=(cfg.remat_min_res if cfg.remat_min_res
+                   else cfg.gradient_checkpointing),
             # gradient_checkpointing doubles as the memory-tight
             # signal: skip the pass-1 LoRA fusion there (it holds a
             # second copy of every attention base kernel) and decode
@@ -439,6 +457,38 @@ def make_train_step(
             metrics.update(extra_metrics)
         metrics["step_loss"] = loss
         return loss, (metrics, result.latents)
+
+    return loss_fn
+
+
+def make_train_step(
+    pipeline: DiffusionPipeline,
+    blip_module,
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    extra_losses: Optional[Callable] = None,
+    disc=None,
+    d_optimizer: Optional[optax.GradientTransformation] = None,
+):
+    """Build the jitted train step.
+
+    With `disc` (a losses.gan.Discriminator) and `d_optimizer`, the step
+    performs the reference's full G-then-D sequence in one XLA program
+    (training_script.py:556-694): G update with the GAN G-loss added,
+    then the D update on detached latents + ground-truth latents from
+    the batch ("gt_latents").
+
+    extra_losses(merged_params, batch, image, result, rng) ->
+    (loss_add, metrics_dict) — hook for grounding losses.
+    """
+    from comat_tpu.diffusion.schedulers import inference_timesteps
+    from comat_tpu.losses.gan import gan_d_loss
+
+    t_final = int(inference_timesteps(cfg.total_step)[-1])
+    loss_fn = make_loss_fn(
+        pipeline, blip_module, cfg, extra_losses=extra_losses, disc=disc
+    )
+    null_ctx_for_d = _make_null_ctx_for_d(pipeline, disc)
 
     def train_step(
         state: TrainState, frozen, blip_params, batch, rng,

@@ -114,6 +114,15 @@ class Trainer:
         self._caption_weights_dir = None
         if not tiny:
             self._caption_weights_dir = self._resolve_caption_weights()
+        elif getattr(args, "caption_model_path", None):
+            # tiny runs honor an EXPLICIT snapshot: the synthetic-
+            # snapshot CI tier drives the same load_blip_params glue
+            # real runs use (tests/test_synthetic_snapshots.py)
+            p = self._resolve_snapshot(
+                args.caption_model_path, getattr(args, "cache_dir", None)
+            )
+            if p and os.path.isdir(p):
+                self._caption_weights_dir = p
         if args.gan_loss and not args.gan_gt_path and not tiny:
             self._smoke_gate(
                 "--gan_loss without --gan_gt_path: the discriminator "
@@ -211,6 +220,7 @@ class Trainer:
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             use_8bit_adam=args.use_8bit_adam,
             gradient_checkpointing=args.gradient_checkpointing,
+            remat_min_res=args.remat_min_res,
             pass1_int8=args.pass1_int8,
             textenc_lr=(
                 args.textenc_lora_lr

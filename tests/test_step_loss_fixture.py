@@ -37,6 +37,25 @@ def test_step_loss_matches_torch_twin(rec):
         assert d <= 5e-3, f"{k} delta {d:.2e}"
 
 
+def test_grad_parity_vs_torch_twin(rec):
+    """dLoss/d(LoRA) leaf-by-leaf: jax.grad of the real training loss
+    (make_loss_fn) vs torch autograd through the twin replaying the
+    reference's grad-toggle semantics (TrainableSDPipeline.py:133-167).
+    Catches any shared misreading the JAX-vs-JAX unrolled tests
+    (test_sampler.py) cannot (VERDICT r3 task 2)."""
+    gs = rec["grad_summary"]
+    assert gs["n_lora_leaves"] > 100, gs  # every q/k/v/out of 25 attns
+    assert gs["max_rel_any_lora_leaf"] <= rec["grad_tolerance_rel"], gs
+    # aggregate norm agreement (also cross-checks the step's grad_norm
+    # metric path)
+    denom = max(gs["grad_norm_twin"], 1e-12)
+    assert abs(gs["grad_norm_jax"] - gs["grad_norm_twin"]) / denom <= 1e-3, gs
+    # the recorded handful (to_q A/B pairs) must all be present & tight
+    assert rec["grad_deltas"], "no to_q LoRA pairs recorded"
+    for k, d in rec["grad_deltas"].items():
+        assert d["rel"] <= rec["grad_tolerance_rel"], (k, d)
+
+
 def test_recorded_fixture_consistent(rec):
     """The committed fixtures/step_loss_sd15.json must reproduce: the
     recorded twin loss is the contract the judge can re-check."""
