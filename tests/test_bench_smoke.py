@@ -91,6 +91,13 @@ def test_gsam_recipe_sequence(full_built, measured):
     (pipe, _, step, _, frozen, blip_params, batch, tcfg,
      _, _, d_frozen) = full_built
     _, state, d_state, _ = measured
+    # the step donates its state/d_state args; deep-copy the module-
+    # scoped fixture buffers so test order can't expose deleted buffers
+    # to later tests (ADVICE r3)
+    import jax
+    import jax.numpy as jnp
+    state = jax.tree_util.tree_map(jnp.copy, state)
+    d_state = jax.tree_util.tree_map(jnp.copy, d_state)
     gsam, state, d_state = bench.gsam_recipe_seconds(
         pipe, step, state, frozen, blip_params, batch, tcfg,
         d_state, d_frozen, n_iters=1, tiny=True,
