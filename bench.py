@@ -22,6 +22,16 @@ attrcon), a measured end-to-end `--pass1_int8` step with its
 first-step loss delta, and a measured SDXL full-recipe step
 (BENCH_GSAM/BENCH_INT8/BENCH_SDXL=0 env vars skip the extras).
 
+Execution model: main() is a thin ORCHESTRATOR that never touches the
+device; every measurement family (headline / pass1 / phases / gsam /
+int8 / reduced / sdxl) runs in its own subprocess with a fresh TPU
+client and merges its result into BENCH_SECTIONS.json. One section's
+OOM or relay drop is strictly local (round-4 run2: a single
+RESOURCE_EXHAUSTED in one phase poisoned every later measurement in
+the shared process), HBM returns to zero between sections, and the
+best-known record is checkpointed to BENCH_MEASURED.json after every
+section so an outage can never cost what is already measured.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 A100 baseline is derived from the recipe:
     A100 imgs/sec ≈ peak_bf16 * MFU / FLOPs_per_image
@@ -175,11 +185,14 @@ def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
         # subset) at a compile size a 1-core host can trace
         total_step=50 if not tiny else 10,
         K=5, resolution=resolution,
-        # the SDXL recipe needs block remat to fit 16GB HBM (the
-        # reference also runs --gradient_checkpointing); the SD1.5
-        # full recipe needs SELECTIVE remat of the 64-res blocks only
-        # (remat_min_res=64 — un-remat'd it exceeds 15.75GB by ~0.3GB,
-        # r4 OOM log), which _run_full's ladder supplies
+        # the SDXL recipe needs remat to fit 16GB HBM (the reference
+        # also runs --gradient_checkpointing). gradient_checkpointing
+        # additionally keeps pass-1 UNFUSED (a fused SDXL copy is
+        # ~5GB); remat_min_res, when set, takes precedence over the
+        # full block remat INSIDE the replay (train_step.py:380) —
+        # recompute only res>=N blocks there. The SD1.5 full recipe
+        # needs remat_min_res=64 (un-remat'd it exceeds 15.75GB by
+        # ~0.3GB, r4 OOM log), which the headline ladder supplies.
         gradient_checkpointing=(model != "sd_1_5"),
         remat_min_res=remat_min_res,
         gan_loss=full_recipe,
@@ -726,10 +739,42 @@ def _checkpoint_headline(dt_full, batch_size, model, remat_used):
           "BENCH_MEASURED.json", file=sys.stderr)
 
 
-def _run_full(batch_size, model, with_gsam=False, tiny=False,
-              resolution=512):
-    """Build+measure the full recipe in its own scope so every HBM
-    buffer dies before the reduced build allocates."""
+# ---------------------------------------------------------------------
+# Section protocol: each measurement family runs in its OWN subprocess
+# with a fresh TPU client, writing its result into BENCH_SECTIONS.json.
+#
+# Why: round-4 run2 showed one RESOURCE_EXHAUSTED poisons everything
+# after it — the attrcon fwd+bwd phase OOM'd and then the gsam / int8 /
+# reduced / sdxl measurements ALL failed with OOM in the same process
+# (bench_r4_run2.log), because the headline's ~13GB of donated buffers
+# and accumulated executables never leave HBM. A fresh process per
+# section returns all HBM between sections and makes every failure
+# strictly local. The persistent jax compile cache keeps reruns cheap.
+# ---------------------------------------------------------------------
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+SECTIONS_PATH = os.path.join(_HERE, "BENCH_SECTIONS.json")
+
+
+def _load_sections() -> dict:
+    try:
+        with open(SECTIONS_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _merge_section(name: str, data) -> None:
+    sec = _load_sections()
+    sec[name] = data
+    tmp = SECTIONS_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sec, f, indent=1)
+    os.replace(tmp, SECTIONS_PATH)
+
+
+def _section_headline(batch_size, model, tiny, resolution):
+    """Full-recipe build + remat ladder + measure + analytic FLOPs."""
     from comat_tpu.training.train_step import merge_params
 
     remat_used = None if (tiny or model != "sd_1_5") else _REMAT_LADDER[0]
@@ -758,7 +803,7 @@ def _run_full(batch_size, model, with_gsam=False, tiny=False,
                                "remat ladder level")
     if not tiny:
         _checkpoint_headline(dt_full, batch_size, model, remat_used)
-    (pipe, blip, step, _, frozen, blip_params, batch, tcfg,
+    (pipe, blip, _, _, frozen, blip_params, batch, tcfg,
      disc, _, d_frozen) = full
 
     f_img, comp = None, {}
@@ -772,41 +817,173 @@ def _run_full(batch_size, model, with_gsam=False, tiny=False,
         del merged, d_merged
     except Exception:
         traceback.print_exc()
+    return {
+        "dt_full": dt_full,
+        "remat_used": remat_used,
+        "f_img": f_img,
+        "comp": {k: float(v) for k, v in comp.items()},
+        "step_loss": float(m0["step_loss"]),
+    }
 
-    t_pass1 = t_pass1_int8 = None
-    print("[bench] measuring pass-1 variants", file=sys.stderr)
+
+def _section_pass1(batch_size, model, tiny, resolution):
+    """The 50 LoRA-fused no-grad CFG forwards, bf16 and --pass1_int8.
+    Needs no discriminator/attrcon state: built reduced to leave the
+    fused int8 copy maximum HBM headroom."""
+    built = build(batch_size, model=model, full_recipe=False, tiny=tiny,
+                  resolution=resolution)
+    (pipe, _, _, state, frozen, _, batch, *_rest) = built
+    out = {}
     try:
-        t_pass1 = pass1_seconds(pipe, state, frozen, batch)
+        out["t_pass1"] = pass1_seconds(pipe, state, frozen, batch)
     except Exception:
         traceback.print_exc()
     try:
-        t_pass1_int8 = pass1_seconds(pipe, state, frozen, batch, int8=True)
+        out["t_pass1_int8"] = pass1_seconds(pipe, state, frozen, batch,
+                                            int8=True)
     except Exception:
         traceback.print_exc()
+    return out
 
-    phases = {}
-    print("[bench] measuring phase breakdown", file=sys.stderr)
+
+def _section_phases(batch_size, model, tiny, resolution):
+    built = build(batch_size, model=model, full_recipe=True, tiny=tiny,
+                  resolution=resolution)
+    (pipe, blip, _, state, frozen, blip_params, batch, tcfg,
+     disc, d_state, d_frozen) = built
+    return phase_seconds_breakdown(
+        pipe, blip, state, frozen, blip_params, batch, tcfg=tcfg,
+        disc=disc, d_state=d_state, d_frozen=d_frozen,
+    )
+
+
+def _section_gsam(batch_size, model, tiny, resolution):
+    remat = _load_sections().get("headline", {}).get(
+        "remat_used",
+        None if (tiny or model != "sd_1_5") else _REMAT_LADDER[0],
+    )
+    built = build(batch_size, model=model, full_recipe=True, tiny=tiny,
+                  resolution=resolution, remat_min_res=remat)
+    (pipe, _, step, state, frozen, blip_params, batch, tcfg,
+     _, d_state, d_frozen) = built
+    gsam, _, _ = gsam_recipe_seconds(
+        pipe, step, state, frozen, blip_params, batch, tcfg,
+        d_state, d_frozen, tiny=tiny,
+    )
+    return gsam
+
+
+def _section_int8(batch_size, model, tiny, resolution):
+    """--pass1_int8 measured END-TO-END (not the subtraction
+    projection): same seeded init/batch/rng as the headline build, so
+    the step_loss delta isolates the W8A8 pass-1 numerics drift."""
+    head = _load_sections().get("headline", {})
+    remat = head.get(
+        "remat_used",
+        None if (tiny or model != "sd_1_5") else _REMAT_LADDER[0],
+    )
+    # int8's fused pass-1 copy is ~0.9GB smaller than bf16's — the step
+    # may fit REMAT-FREE where the bf16 headline needed remat_min_res=64
+    # (it OOM'd by ~0.3GB). The orchestrator schedules two attempts in
+    # SEPARATE processes (an OOM can poison a TPU client in-process —
+    # bench_r4_run2.log): BENCH_INT8_REMAT=none first, =head fallback.
+    # (The reference recipe full-remats either way: sd15.sh
+    # --gradient_checkpointing.)
+    mode = os.environ.get("BENCH_INT8_REMAT", "head")
+    remat_int8 = None if (mode == "none" and not tiny) else remat
+    full8 = build(batch_size, model=model, full_recipe=True,
+                  tiny=tiny, resolution=resolution,
+                  pass1_int8=True, remat_min_res=remat_int8)
+    dt_int8, _, _, m8 = measure(full8)
+    out = {"dt_int8": dt_int8, "remat_used": remat_int8}
+    if head.get("step_loss") is not None:
+        out["loss_delta"] = abs(float(m8["step_loss"])
+                                - float(head["step_loss"]))
+    return out
+
+
+def _section_reduced(batch_size, model, tiny, resolution):
+    reduced = build(batch_size, model=model, full_recipe=False,
+                    tiny=tiny, resolution=resolution)
+    dt_reduced, _, _, _ = measure(reduced)
+    return {"dt_reduced": dt_reduced}
+
+
+def _section_sdxl(batch_size, model, tiny, resolution):
+    """SDXL full recipe (scripts/sdxl.sh: 512px, remat, cross-arch
+    SD1.5 D) — measured, not projected. BENCH_SDXL_REMAT=sel64 tries
+    SELECTIVE res-64-only remat in place of the reference's full block
+    remat (the orchestrator schedules sel64 first in its own process,
+    full as the fallback — less recompute if it fits)."""
+    from comat_tpu.training.train_step import merge_params
+
+    sel = os.environ.get("BENCH_SDXL_REMAT", "full")
+    remat_x = 64 if (sel == "sel64" and not tiny) else None
+    fullx = build(batch_size, model="sdxl", full_recipe=True, tiny=tiny,
+                  resolution=resolution, remat_min_res=remat_x)
+    dt_x, state_x, d_state_x, _ = measure(fullx)
+    (pipe_x, blip_x, _, _, frozen_x, blip_params_x, batch_x,
+     tcfg_x, disc_x, _, d_frozen_x) = fullx
+    f_img_x = None
     try:
-        phases = phase_seconds_breakdown(
-            pipe, blip, state, frozen, blip_params, batch, tcfg=tcfg,
-            disc=disc, d_state=d_state, d_frozen=d_frozen,
+        merged_x = merge_params(state_x.trainable, frozen_x)
+        d_merged_x = merge_params(d_state_x.trainable, d_frozen_x)
+        f_img_x, _ = reference_flops_per_image(
+            pipe_x, blip_x, merged_x, blip_params_x, batch_x,
+            tcfg_x, disc=disc_x, d_params=d_merged_x,
         )
+        del merged_x, d_merged_x
     except Exception:
         traceback.print_exc()
+    return {
+        "step_seconds_full_recipe": round(dt_x, 3),
+        "imgs_per_sec": round(batch_size / dt_x, 4),
+        "remat": "selective_min_res_64" if remat_x else "full_block",
+        "ref_tflops_per_image": (
+            round(f_img_x / 1e12, 2) if f_img_x else None
+        ),
+        "vs_baseline": (
+            round((batch_size / dt_x)
+                  / (A100_PEAK_FLOPS * A100_ASSUMED_MFU / f_img_x), 3)
+            if f_img_x else None
+        ),
+        "workload": "sdxl.sh: 512px bs%d, gan_loss(cross-arch sd15 D) "
+                    "+ attrcon(2) + BLIP reward, 50 DDPM CFG steps, "
+                    "K=5, LoRA r128, block remat" % batch_size,
+    }
 
-    gsam = None
-    if with_gsam:
-        print("[bench] measuring gsam recipe", file=sys.stderr)
-        try:
-            # runs LAST: the step calls donate state/d_state
-            gsam, state, d_state = gsam_recipe_seconds(
-                pipe, step, state, frozen, blip_params, batch, tcfg,
-                d_state, d_frozen, tiny=tiny,
-            )
-        except Exception:
-            traceback.print_exc()
-    return (dt_full, f_img, comp, t_pass1, t_pass1_int8, phases, gsam,
-            m0, remat_used)
+
+_SECTION_FNS = {
+    "headline": _section_headline,
+    "pass1": _section_pass1,
+    "phases": _section_phases,
+    "gsam": _section_gsam,
+    "int8": _section_int8,
+    "reduced": _section_reduced,
+    "sdxl": _section_sdxl,
+}
+
+
+def run_section(name: str, batch_size: int, model: str) -> None:
+    """Child-process entry: run ONE measurement section against the
+    device and merge its result into BENCH_SECTIONS.json. Exits via
+    os._exit so a wedged relay thread can't abort teardown after the
+    result is already durable."""
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    resolution = 64 if tiny else 512
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/.cache/jax_bench_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+    data = _SECTION_FNS[name](batch_size, model, tiny, resolution)
+    _merge_section(name, data)
+    _merge_section("_device", str(jax.devices()[0]))
+    print(f"[bench] section '{name}' done", file=sys.stderr)
+    sys.stderr.flush()
+    os._exit(0)
 
 
 def _device_reachable(budget_s: float | None = None) -> bool:
@@ -851,147 +1028,29 @@ def _device_reachable(budget_s: float | None = None) -> bool:
         time.sleep(120.0)
 
 
-def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    model = sys.argv[2] if len(sys.argv) > 2 else "sd_1_5"
+def _assemble(sections: dict, batch_size: int, model: str):
+    """Pure assembly of the final one-line record from the per-section
+    measurements (unit-testable without a device). Returns None until
+    the headline section has landed."""
     metric = (("sd15" if model == "sd_1_5" else model)
               + "_comat_full_recipe_train_step_throughput_512px")
-
-    if not _device_reachable():
-        _emit(
-            {
-                "metric": metric,
-                "value": None,
-                "unit": "images/sec/chip",
-                "vs_baseline": None,
-                "detail": {
-                    "error": "device unreachable within probe budget "
-                             "(axon TPU relay down?); see "
-                             "BENCH_PROBE_BUDGET_S",
-                },
-            }
-        )
-
-    # persistent compile cache: the full-recipe step compiles in ~15
-    # min through the relay; reruns should not pay it again
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", "/root/.cache/jax_bench_cache"
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
-
-    # If the headline itself dies (relay drop mid-run, OOM), fall back
-    # to any previously recorded on-hardware number rather than nulling
-    # the round: BENCH_MEASURED.json is written by tools/run_bench.py
-    # after every successful mid-round measurement.
-    try:
-        # Full recipe (scripts/sd15.sh: --gan_loss + attrcon) — headline
-        (dt_full, f_img, comp, t_pass1, t_pass1_int8, phases, gsam, m0,
-         remat_used) = _run_full(
-            batch_size, model,
-            with_gsam=os.environ.get("BENCH_GSAM", "1") != "0",
-        )
-    except Exception:
-        traceback.print_exc()
-        fallback = None
-        try:
-            path = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_MEASURED.json",
-            )
-            with open(path) as f:
-                fallback = json.load(f)
-        except Exception:
-            pass
-        if fallback and fallback.get("metric") == metric:
-            fallback.setdefault("detail", {})["note"] = (
-                "live run failed mid-measurement; this is the most "
-                "recent completed on-hardware measurement "
-                "(BENCH_MEASURED.json)"
-            )
-            _emit(fallback)
-        _emit(
-            {
-                "metric": metric,
-                "value": None,
-                "unit": "images/sec/chip",
-                "vs_baseline": None,
-                "detail": {"error": "headline measurement failed "
-                                    "(see stderr traceback)"},
-            }
-        )
-
-    # --pass1_int8 measured END-TO-END (not the subtraction projection):
-    # same seeded init/batch/rng, the only difference is the W8A8 pass-1
-    # numerics, so m0["step_loss"] deltas isolate the int8 drift.
-    dt_int8 = loss_delta_int8 = None
-    if os.environ.get("BENCH_INT8", "1") != "0":
-        try:
-            full8 = build(batch_size, model=model, full_recipe=True,
-                          pass1_int8=True, remat_min_res=remat_used)
-            dt_int8, _, _, m0_int8 = measure(full8)
-            del full8
-            if m0 is not None and m0_int8 is not None:
-                loss_delta_int8 = abs(
-                    float(m0_int8["step_loss"]) - float(m0["step_loss"])
-                )
-        except Exception:
-            traceback.print_exc()
-
-    # Reduced step (no GAN, no attrcon) for the delta breakdown
-    dt_reduced = None
-    try:
-        reduced = build(batch_size, model=model, full_recipe=False)
-        dt_reduced, _, _, _ = measure(reduced)
-        del reduced
-    except Exception:
-        traceback.print_exc()
-
-    # SDXL full recipe (scripts/sdxl.sh: 512px, bs4-on-16GB with block
-    # remat, cross-arch SD1.5 D) — measured, not projected (VERDICT r2
-    # missing #4). Runs only alongside the sd15 headline.
-    sdxl_detail = None
-    if model == "sd_1_5" and os.environ.get("BENCH_SDXL", "1") != "0":
-        try:
-            from comat_tpu.training.train_step import merge_params
-
-            fullx = build(batch_size, model="sdxl", full_recipe=True)
-            dt_x, state_x, d_state_x, _ = measure(fullx)
-            (pipe_x, blip_x, _, _, frozen_x, blip_params_x, batch_x,
-             tcfg_x, disc_x, _, d_frozen_x) = fullx
-            f_img_x = None
-            try:
-                merged_x = merge_params(state_x.trainable, frozen_x)
-                d_merged_x = merge_params(d_state_x.trainable, d_frozen_x)
-                f_img_x, _ = reference_flops_per_image(
-                    pipe_x, blip_x, merged_x, blip_params_x, batch_x,
-                    tcfg_x, disc=disc_x, d_params=d_merged_x,
-                )
-                del merged_x, d_merged_x
-            except Exception:
-                traceback.print_exc()
-            del fullx, state_x, d_state_x
-            sdxl_detail = {
-                "step_seconds_full_recipe": round(dt_x, 3),
-                "imgs_per_sec": round(batch_size / dt_x, 4),
-                "ref_tflops_per_image": (
-                    round(f_img_x / 1e12, 2) if f_img_x else None
-                ),
-                "vs_baseline": (
-                    round((batch_size / dt_x)
-                          / (A100_PEAK_FLOPS * A100_ASSUMED_MFU / f_img_x),
-                          3)
-                    if f_img_x else None
-                ),
-                "workload": "sdxl.sh: 512px bs%d, gan_loss(cross-arch "
-                            "sd15 D) + attrcon(2) + BLIP reward, 50 DDPM "
-                            "CFG steps, K=5, LoRA r128, block remat"
-                            % batch_size,
-            }
-        except Exception:
-            traceback.print_exc()
+    h = sections.get("headline")
+    if not h or h.get("dt_full") is None:
+        return None
+    dt_full = h["dt_full"]
+    remat_used = h.get("remat_used")
+    f_img = h.get("f_img")
+    comp = h.get("comp", {})
+    p1 = sections.get("pass1", {})
+    t_pass1 = p1.get("t_pass1")
+    t_pass1_int8 = p1.get("t_pass1_int8")
+    phases = sections.get("phases", {})
+    gsam = sections.get("gsam")
+    i8 = sections.get("int8", {})
+    dt_int8 = i8.get("dt_int8")
+    loss_delta_int8 = i8.get("loss_delta")
+    dt_reduced = sections.get("reduced", {}).get("dt_reduced")
+    sdxl_detail = sections.get("sdxl")
 
     imgs_per_sec = batch_size / dt_full
     if f_img:
@@ -1056,7 +1115,7 @@ def main():
         else:
             put("gan_plus_attrcon", dt_full - dt_reduced)
 
-    _emit(
+    return (
         {
             "metric": metric,
             "value": round(imgs_per_sec, 4),
@@ -1082,6 +1141,10 @@ def main():
                     round(loss_delta_int8, 6)
                     if loss_delta_int8 is not None else None
                 ),
+                # remat level the int8 step ran at (None = remat-free:
+                # the smaller int8 fused copy bought back the HBM the
+                # bf16 headline spent on selective remat)
+                "int8_remat_min_res": i8.get("remat_used"),
                 # the old subtraction projection, kept for
                 # continuity with BENCH_r02
                 "step_seconds_full_recipe_int8_est": (
@@ -1121,11 +1184,191 @@ def main():
                     round(f_img * imgs_per_sec / 1e12, 1)
                     if f_img else None
                 ),
-                "device": str(jax.devices()[0]),
+                "device": sections.get("_device", "unknown"),
             },
         }
     )
 
 
+def _fallback_record(metric: str, note: str):
+    """The most recent COMPLETE on-hardware record, if any (written by
+    _emit / section checkpointing). Round 3 nulled its number on one
+    relay outage; any previously measured number beats a null."""
+    try:
+        with open(os.path.join(_HERE, "BENCH_MEASURED.json")) as f:
+            fallback = json.load(f)
+    except Exception:
+        return None
+    if fallback.get("metric") != metric or fallback.get("value") is None:
+        return None
+    fallback.setdefault("detail", {})["note"] = note
+    return fallback
+
+
+def main():
+    import subprocess
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    model = sys.argv[2] if len(sys.argv) > 2 else "sd_1_5"
+    metric = (("sd15" if model == "sd_1_5" else model)
+              + "_comat_full_recipe_train_step_throughput_512px")
+
+    # The probe (and every measurement) runs in a CHILD process: the
+    # orchestrator itself never initializes the TPU client, so it can
+    # never hold the device (or a wedged relay connection) while a
+    # section needs it. Each ATTEMPT is its own subprocess too — after
+    # one hung backend init, every later probe thread in the same
+    # process would just queue behind jax's init lock, so in-process
+    # retries never actually retry the connection.
+    def probe_ok() -> bool:
+        budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "7200"))
+        deadline = time.monotonic() + budget
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                rc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--probe"],
+                    timeout=240.0, cwd=_HERE,
+                ).returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+            except Exception:
+                traceback.print_exc()
+                rc = -1
+            if rc == 0:
+                return True
+            if time.monotonic() >= deadline:
+                return False
+            print(f"[bench] relay probe attempt {attempt} failed; "
+                  f"retrying ({int(deadline - time.monotonic())}s of "
+                  "budget left)", file=sys.stderr)
+            sys.stderr.flush()
+            time.sleep(120.0)
+
+    if not probe_ok():
+        fb = _fallback_record(
+            metric,
+            "live device unreachable within probe budget (axon TPU "
+            "relay down); this is the most recent completed "
+            "on-hardware measurement (BENCH_MEASURED.json)",
+        )
+        if fb:
+            _emit(fb)
+        _emit(
+            {
+                "metric": metric,
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "detail": {
+                    "error": "device unreachable within probe budget "
+                             "(axon TPU relay down?); see "
+                             "BENCH_PROBE_BUDGET_S",
+                },
+            }
+        )
+
+    # Fresh sections for this invocation (BENCH_RESUME=1 keeps prior
+    # section results and re-measures only what's missing).
+    if os.environ.get("BENCH_RESUME", "0") != "1":
+        try:
+            os.remove(SECTIONS_PATH)
+        except FileNotFoundError:
+            pass
+
+    names = ["headline", "pass1", "phases"]
+    if os.environ.get("BENCH_GSAM", "1") != "0":
+        names.append("gsam")
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        names.append("int8")
+    names.append("reduced")
+    if model == "sd_1_5" and os.environ.get("BENCH_SDXL", "1") != "0":
+        names.append("sdxl")
+    if os.environ.get("BENCH_SECTIONS_LIST"):
+        names = os.environ["BENCH_SECTIONS_LIST"].split(",")
+
+    default_to = float(os.environ.get("BENCH_SECTION_TIMEOUT_S", "4500"))
+    headline_to = float(os.environ.get("BENCH_HEADLINE_TIMEOUT_S", "9000"))
+    attempts = []
+    for name in names:
+        if name == "int8":
+            # two fresh-process attempts: remat-free first (fits thanks
+            # to the smaller int8 fused copy?), headline's level second.
+            # The already-recorded check skips the fallback on success.
+            attempts.append(("int8", {"BENCH_INT8_REMAT": "none"}))
+            attempts.append(("int8", {"BENCH_INT8_REMAT": "head"}))
+        elif name == "sdxl":
+            # selective res-64-only remat first (less recompute than
+            # the reference's full --gradient_checkpointing), full
+            # block remat as the fits-for-sure fallback
+            attempts.append(("sdxl", {"BENCH_SDXL_REMAT": "sel64"}))
+            attempts.append(("sdxl", {"BENCH_SDXL_REMAT": "full"}))
+        else:
+            attempts.append((name, None))
+    for name, env_over in attempts:
+        if name in _load_sections():
+            print(f"[bench] section '{name}' already recorded; skipping",
+                  file=sys.stderr)
+            continue
+        print(f"[bench] running section '{name}'"
+              + (f" {env_over}" if env_over else ""), file=sys.stderr)
+        sys.stderr.flush()
+        env = dict(os.environ)
+        env.update(env_over or {})
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--section", name, str(batch_size), model],
+                timeout=headline_to if name == "headline" else default_to,
+                cwd=_HERE, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] section '{name}' timed out", file=sys.stderr)
+        except Exception:
+            traceback.print_exc()
+        # checkpoint the best-known record after EVERY section: a crash
+        # or relay outage later cannot cost what is already measured
+        record = _assemble(_load_sections(), batch_size, model)
+        if record is not None:
+            try:
+                with open(os.path.join(_HERE, "BENCH_MEASURED.json"),
+                          "w") as f:
+                    f.write(json.dumps(record) + "\n")
+            except Exception:
+                pass
+
+    record = _assemble(_load_sections(), batch_size, model)
+    if record is not None:
+        _emit(record)
+    fb = _fallback_record(
+        metric,
+        "live headline measurement failed this run; this is the most "
+        "recent completed on-hardware measurement (BENCH_MEASURED.json)",
+    )
+    if fb:
+        _emit(fb)
+    _emit(
+        {
+            "metric": metric,
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "detail": {"error": "headline measurement failed "
+                                "(see stderr traceback)"},
+        }
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        name = sys.argv[2]
+        bs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+        mdl = sys.argv[4] if len(sys.argv) > 4 else "sd_1_5"
+        run_section(name, bs, mdl)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        # single attempt; the orchestrator loop owns the retry budget
+        os._exit(0 if _device_reachable(budget_s=180.0) else 1)
+    else:
+        main()
