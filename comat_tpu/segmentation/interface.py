@@ -27,8 +27,9 @@ Implementations:
     training).
   - `PrecomputedMaskSegmenter`: masks from a prompt-keyed store
     (offline FastSAM/GroundingDINO runs).
-  - JAX-native FastSAM + GroundingDINO ports plug in here in a later
-    milestone (same protocol).
+  - `GroundedSAMSegmenter` (segmentation/grounded_sam.py): the
+    JAX-native GroundingDINO + FastSAM ports, wired by the trainer for
+    `--seg_model gsam` (training/trainer.py) via this same protocol.
 """
 
 from __future__ import annotations
