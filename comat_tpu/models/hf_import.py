@@ -421,9 +421,24 @@ def _blip_vqa_hf_name(path: Tuple[str, ...]) -> Optional[Tuple[str, Callable]]:
     return None
 
 
+def _alias_tied_blip(tensors: Dict[str, np.ndarray]) -> None:
+    """HF ties `text_decoder.cls.predictions.decoder.weight` to the
+    word embeddings, and `save_pretrained(safe_serialization=True)`
+    drops tied duplicates from the snapshot — so the lm_head kernel is
+    ABSENT from real BLIP safetensors. Restore the alias before
+    conversion or `lm_head` silently keeps its random init
+    (reference loads via from_pretrained, which re-ties:
+    transformers BlipTextLMHeadModel.tie_weights)."""
+    head = "text_decoder.cls.predictions.decoder.weight"
+    tied = "text_decoder.bert.embeddings.word_embeddings.weight"
+    if head not in tensors and tied in tensors:
+        tensors[head] = tensors[tied]
+
+
 def load_blip_vqa_params(snapshot_dir: str, vqa_params):
     """Real Salesforce/blip-vqa-base weights -> BLIPVQA params."""
     tensors = _load_safetensors_dir(snapshot_dir)
+    _alias_tied_blip(tensors)
     out, missing = convert_tree(vqa_params, tensors, _blip_vqa_hf_name)
     if missing:
         import logging
@@ -437,6 +452,7 @@ def load_blip_vqa_params(snapshot_dir: str, vqa_params):
 
 def load_blip_params(snapshot_dir: str, blip_params):
     tensors = _load_safetensors_dir(snapshot_dir)
+    _alias_tied_blip(tensors)
     out, missing = convert_tree(blip_params, tensors, _blip_hf_name)
     if missing:
         import logging

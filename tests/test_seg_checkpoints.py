@@ -19,6 +19,13 @@ from comat_tpu.segmentation.fastsam import YoloSegConfig, YoloV8Seg
 
 
 def _synthetic_fastsam_state(variables):
+    """Random state dict in the FastSAM-x.pt layout, NUMERICALLY SANE:
+    fan-in-scaled conv kernels, ~unit running stats. Raw randn weights
+    blow activations up to ~1e32 through the deep net, which makes the
+    twin-vs-ours VALUE comparison in parity.check_fastsam meaningless
+    (any fp32 roundoff is amplified to astronomically large absolute
+    deltas); weight-roundtrip assertions are scale-invariant either
+    way."""
     from comat_tpu.segmentation.weights_import import fastsam_hf_name
 
     state = {}
@@ -33,12 +40,18 @@ def _synthetic_fastsam_state(variables):
             shp = leaf.shape
             if f.__name__ == "_conv":
                 src = rng.randn(shp[3], shp[2], shp[0], shp[1])
+                src *= float(np.prod(shp[:3])) ** -0.5
             elif f.__name__ == "_convT":
                 src = rng.randn(shp[2], shp[3], shp[0], shp[1])
+                src *= float(np.prod((shp[0], shp[1], shp[2]))) ** -0.5
+            elif len(shp) >= 2:
+                src = rng.randn(*shp) * float(np.prod(shp[:-1])) ** -0.5
             else:
-                src = rng.randn(*shp)
+                src = rng.randn(*shp) * 0.1
             if name.endswith("running_var"):
-                src = np.abs(src) + 0.1
+                src = np.abs(src) + 1.0
+            if name.endswith("running_mean"):
+                src = src * 0.1
             state[name] = src.astype(np.float32)
     return state
 
