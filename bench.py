@@ -515,8 +515,13 @@ def phase_seconds_breakdown(pipe, blip, state, frozen, blip_params,
         masks = batch.get("seg_masks")
 
         def cap_one_seg(p, latents):
+            # same remat the real step's capture VJP runs with
+            # (train_step.py:380) — unremat'd, this phase's bwd OOMs
+            # 16GB in isolation at 512px bs4 (r4 run2+run3 logs)
             eps, captured = pipe.unet_apply(
-                p, latents, t_c, ctx_c, capture=True, fast=False
+                p, latents, t_c, ctx_c, capture=True, fast=False,
+                remat=(tcfg.remat_min_res if tcfg.remat_min_res
+                       else tcfg.gradient_checkpointing),
             )
             stacked = jax.tree_util.tree_map(
                 lambda m: m[None].astype(jnp.bfloat16), captured
@@ -847,8 +852,14 @@ def _section_pass1(batch_size, model, tiny, resolution):
 
 
 def _section_phases(batch_size, model, tiny, resolution):
+    # the headline's remat level flows into tcfg so the attrcon
+    # capture phase times the SAME selective-remat VJP the step runs
+    remat = _load_sections().get("headline", {}).get(
+        "remat_used",
+        None if (tiny or model != "sd_1_5") else _REMAT_LADDER[0],
+    )
     built = build(batch_size, model=model, full_recipe=True, tiny=tiny,
-                  resolution=resolution)
+                  resolution=resolution, remat_min_res=remat)
     (pipe, blip, _, state, frozen, blip_params, batch, tcfg,
      disc, d_state, d_frozen) = built
     return phase_seconds_breakdown(
@@ -858,10 +869,21 @@ def _section_phases(batch_size, model, tiny, resolution):
 
 
 def _section_gsam(batch_size, model, tiny, resolution):
-    remat = _load_sections().get("headline", {}).get(
-        "remat_used",
-        None if (tiny or model != "sd_1_5") else _REMAT_LADDER[0],
-    )
+    # GDINO swint-ogc + FastSAM-x weights (+ their executables) stay
+    # HBM-resident through the replay step — ~0.5GB on top of a
+    # headline that fits with <0.3GB to spare, so the gsam step needs
+    # COARSER remat than the headline (observed OOM at remat=64, r4
+    # run3). The orchestrator schedules fresh-process attempts:
+    # BENCH_GSAM_REMAT=head (headline's level), then 32, then 1
+    # (remat everything).
+    mode = os.environ.get("BENCH_GSAM_REMAT", "head")
+    if mode == "head" or tiny:
+        remat = _load_sections().get("headline", {}).get(
+            "remat_used",
+            None if (tiny or model != "sd_1_5") else _REMAT_LADDER[0],
+        )
+    else:
+        remat = int(mode)
     built = build(batch_size, model=model, full_recipe=True, tiny=tiny,
                   resolution=resolution, remat_min_res=remat)
     (pipe, _, step, state, frozen, blip_params, batch, tcfg,
@@ -870,6 +892,7 @@ def _section_gsam(batch_size, model, tiny, resolution):
         pipe, step, state, frozen, blip_params, batch, tcfg,
         d_state, d_frozen, tiny=tiny,
     )
+    gsam["remat_min_res"] = remat
     return gsam
 
 
@@ -1299,6 +1322,12 @@ def main():
             # The already-recorded check skips the fallback on success.
             attempts.append(("int8", {"BENCH_INT8_REMAT": "none"}))
             attempts.append(("int8", {"BENCH_INT8_REMAT": "head"}))
+        elif name == "gsam":
+            # the replay step + resident GDINO/FastSAM weights OOM at
+            # the headline's remat level; ladder down in fresh processes
+            attempts.append(("gsam", {"BENCH_GSAM_REMAT": "head"}))
+            attempts.append(("gsam", {"BENCH_GSAM_REMAT": "32"}))
+            attempts.append(("gsam", {"BENCH_GSAM_REMAT": "1"}))
         elif name == "sdxl":
             # selective res-64-only remat first (less recompute than
             # the reference's full --gradient_checkpointing), full
@@ -1328,6 +1357,19 @@ def main():
             print(f"[bench] section '{name}' timed out", file=sys.stderr)
         except Exception:
             traceback.print_exc()
+        if name not in _load_sections():
+            # section failed — if the cause is a relay outage (r4: int8
+            # died to remote_compile connection-refused mid-run), every
+            # later section would cascade-fail instantly. Re-probe
+            # (fresh subprocesses, full retry budget) before continuing
+            # so an outage becomes a pause, not a wipe of the tail.
+            print(f"[bench] section '{name}' failed; re-probing relay "
+                  "before continuing", file=sys.stderr)
+            sys.stderr.flush()
+            if not probe_ok():
+                print("[bench] relay unreachable; stopping section runs",
+                      file=sys.stderr)
+                break
         # checkpoint the best-known record after EVERY section: a crash
         # or relay outage later cannot cost what is already measured
         record = _assemble(_load_sections(), batch_size, model)
