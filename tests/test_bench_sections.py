@@ -133,3 +133,65 @@ def test_section_fns_cover_orchestrator_names():
     for name in ("headline", "pass1", "phases", "gsam", "int8",
                  "reduced", "sdxl"):
         assert name in bench._SECTION_FNS
+
+
+def test_merge_prior_detail_fills_null_leaves(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    metric = "sd15_comat_full_recipe_train_step_throughput_512px"
+    prior = {
+        "metric": metric,
+        "value": 0.77,
+        "detail": {
+            "step_seconds_gsam_recipe": 9.1,
+            "sdxl": {"dt_full": 7.0},
+            "device": "TPU v5 lite0",
+            "note": "old note",
+            "phase_breakdown": {
+                "pass1_50_fused_fwd": {"s": 3.0},
+                "gan_D_update_fwd_plus_bwd": {"s": 0.19},
+            },
+        },
+    }
+    (tmp_path / "BENCH_MEASURED.json").write_text(json.dumps(prior))
+    fresh = {
+        "metric": metric,
+        "value": 0.78,
+        "detail": {
+            "step_seconds_gsam_recipe": None,
+            "sdxl": None,
+            "step_seconds_full_recipe": 5.1,
+            "device": "fresh-device",
+            "phase_breakdown": {"pass1_50_fused_fwd": {"s": 2.9}},
+        },
+    }
+    got = bench._merge_prior_detail(fresh)
+    d = got["detail"]
+    # null leaves filled from the prior record, provenance listed
+    assert d["step_seconds_gsam_recipe"] == 9.1
+    assert d["sdxl"] == {"dt_full": 7.0}
+    assert sorted(d["prior_run_fields"]) == [
+        "phase_breakdown.gan_D_update_fwd_plus_bwd",
+        "sdxl",
+        "step_seconds_gsam_recipe",
+    ]
+    # fresh non-null values, device, and note are never overwritten
+    assert d["step_seconds_full_recipe"] == 5.1
+    assert d["device"] == "fresh-device"
+    assert "note" not in d
+    # per-phase merge keeps the fresh phase, adds the missing one
+    assert d["phase_breakdown"]["pass1_50_fused_fwd"]["s"] == 2.9
+    assert d["phase_breakdown"]["gan_D_update_fwd_plus_bwd"]["s"] == 0.19
+
+
+def test_merge_prior_detail_gates(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    fresh = {"metric": "m", "value": 1.0, "detail": {"x": None}}
+    # no prior file -> unchanged
+    assert bench._merge_prior_detail(dict(fresh))["detail"]["x"] is None
+    # metric mismatch -> unchanged
+    (tmp_path / "BENCH_MEASURED.json").write_text(
+        json.dumps({"metric": "other", "detail": {"x": 5}})
+    )
+    got = bench._merge_prior_detail(json.loads(json.dumps(fresh)))
+    assert got["detail"]["x"] is None
+    assert "prior_run_fields" not in got["detail"]
