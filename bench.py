@@ -59,6 +59,12 @@ import numpy as np
 A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.40
 
+# Artifact home: BENCH_LAST/MEASURED/SECTIONS live here. Overridable so
+# tests can exercise the full orchestrator (pre-run emission, SIGTERM
+# handling) against a temp dir without touching the repo's records.
+_SCRIPT_DIR = os.path.dirname(os.path.abspath(__file__))
+_HERE = os.environ.get("BENCH_HOME") or _SCRIPT_DIR
+
 # The single source of truth for the bench batch's prompts: build() and
 # gsam_recipe_seconds() must agree or the gsam masks/token fields
 # silently diverge from the batch's input_ids (ADVICE r3).
@@ -79,12 +85,11 @@ def _emit(record: dict):
     # racing the flush) the measurement still exists on disk, and a
     # SUCCESSFUL measurement becomes the fallback record that a later
     # failed live run can re-emit (see main()).
-    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
+        with open(os.path.join(_HERE, "BENCH_LAST.json"), "w") as f:
             f.write(line + "\n")
         if record.get("value") is not None:
-            with open(os.path.join(here, "BENCH_MEASURED.json"), "w") as f:
+            with open(os.path.join(_HERE, "BENCH_MEASURED.json"), "w") as f:
                 f.write(line + "\n")
     except Exception:
         pass
@@ -757,7 +762,6 @@ def _checkpoint_headline(dt_full, batch_size, model, remat_used):
 # strictly local. The persistent jax compile cache keeps reruns cheap.
 # ---------------------------------------------------------------------
 
-_HERE = os.path.dirname(os.path.abspath(__file__))
 SECTIONS_PATH = os.path.join(_HERE, "BENCH_SECTIONS.json")
 
 
@@ -1213,14 +1217,25 @@ def _assemble(sections: dict, batch_size: int, model: str):
     )
 
 
+# Remat-level fields where None is a MEANINGFUL measured value ("ran
+# remat-free"), mapped to the timing they qualify. They are only copied
+# from a prior record when that timing itself came from the prior
+# record — otherwise a fresh remat-free run would get the prior run's
+# remat level stamped onto its freshly measured timing (ADVICE r4).
+_REMAT_FIELD_PAIRS = {
+    "remat_min_res": "step_seconds_full_recipe",
+    "int8_remat_min_res": "step_seconds_full_recipe_int8",
+}
+
+
 def _merge_prior_detail(record: dict) -> dict:
     """Fill null detail fields of a freshly assembled record from the
-    best-known prior record (BENCH_MEASURED.json, same metric), listing
-    the filled keys under detail.prior_run_fields. A fresh run whose
-    budget only reaches the headline must not CLOBBER sections a prior
-    run already measured (gsam/int8/sdxl took r4 three runs to land);
-    equally, the emitted record must say which numbers are from an
-    earlier completed run."""
+    best-known prior record (BENCH_MEASURED.json, same metric, same
+    batch size + device), listing the filled keys under
+    detail.prior_run_fields. A fresh run whose budget only reaches the
+    headline must not CLOBBER sections a prior run already measured
+    (gsam/int8/sdxl took r4 three runs to land); equally, the emitted
+    record must say which numbers are from an earlier completed run."""
     try:
         with open(os.path.join(_HERE, "BENCH_MEASURED.json")) as f:
             prior = json.load(f)
@@ -1230,13 +1245,31 @@ def _merge_prior_detail(record: dict) -> dict:
         return record
     detail = record.setdefault("detail", {})
     pdetail = prior.get("detail", {})
+    # ADVICE r4: a prior record measured at a different batch size or on
+    # different hardware must not donate numbers into a record whose
+    # batch_size/device fields describe the fresh run.
+    for gate in ("batch_size", "device"):
+        pv, fv = pdetail.get(gate), detail.get(gate)
+        if pv is not None and fv is not None and pv != fv:
+            return record
     filled = []
-    for k, v in pdetail.items():
-        if k in ("note", "prior_run_fields", "device"):
+    # Only fill keys the fresh _assemble schema emits (ADVICE r4: keys
+    # removed from the schema must not be resurrected forever from old
+    # records), and never the remat-level qualifiers directly.
+    for k in list(detail.keys()):
+        if k in ("note", "prior_run_fields", "device", "phase_breakdown"):
             continue
-        if detail.get(k) is None and v is not None:
-            detail[k] = v
+        if k in _REMAT_FIELD_PAIRS:
+            continue
+        if detail[k] is None and pdetail.get(k) is not None:
+            detail[k] = pdetail[k]
             filled.append(k)
+    for rk, tk in _REMAT_FIELD_PAIRS.items():
+        # the remat level rides with its timing: copied (verbatim, even
+        # if None = remat-free) only when the timing was copied
+        if tk in filled and rk in detail:
+            detail[rk] = pdetail.get(rk)
+            filled.append(rk)
     # phase table: per-phase merge (a fresh run records pass1/phases
     # separately from the headline, so partial tables happen)
     oldp = pdetail.get("phase_breakdown") or {}
@@ -1267,12 +1300,108 @@ def _fallback_record(metric: str, note: str):
 
 
 def main():
+    import signal
     import subprocess
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     model = sys.argv[2] if len(sys.argv) > 2 else "sd_1_5"
     metric = (("sd15" if model == "sd_1_5" else model)
               + "_comat_full_recipe_train_step_throughput_512px")
+
+    # Global wall-clock budget. Three consecutive rounds lost the
+    # driver-visible number to timeouts (r2 relay, r3 rc=134, r4
+    # rc=124): the orchestrator must fit inside whatever budget the
+    # caller has, and must have a parsed line on stdout within the
+    # first seconds regardless.
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "3000"))
+    t_start = time.monotonic()
+
+    def remaining() -> float:
+        return total_budget - (time.monotonic() - t_start)
+
+    # (a) Pre-run emission: put the best-known completed measurement on
+    # stdout FIRST, before the probe or any device work can hang. A
+    # later emission from this run supersedes it; if the driver kills
+    # the process at ANY point after this line, a parseable non-null
+    # record is already on stdout (VERDICT r4 #1).
+    fb = _fallback_record(
+        metric,
+        "pre-run emission of the most recent completed on-hardware "
+        "measurement (BENCH_MEASURED.json); a later record from this "
+        "run, if present, supersedes this line",
+    )
+    if fb:
+        fb.setdefault("detail", {})["source"] = "fallback_pre_run"
+        print(json.dumps(fb))
+        sys.stdout.flush()
+
+    def emit_best(note: str, note_on_live: bool = False):
+        """Emit the best record available right now (never returns):
+        live-assembled sections if the headline landed, else the prior
+        completed measurement, else an explicit-null error record.
+        `note` describes the failure context; it is stamped on the live
+        record only when note_on_live (e.g. a mid-run SIGTERM)."""
+        try:
+            record = _assemble(_load_sections(), batch_size, model)
+        except Exception:
+            record = None
+        if record is not None:
+            record = _merge_prior_detail(record)
+            if note_on_live:
+                record.setdefault("detail", {})["note"] = note
+            _emit(record)
+        fb2 = _fallback_record(metric, note + " — this is the most "
+                               "recent completed on-hardware "
+                               "measurement (BENCH_MEASURED.json)")
+        if fb2:
+            _emit(fb2)
+        _emit(
+            {
+                "metric": metric,
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "detail": {"error": note},
+            }
+        )
+
+    # (b) The driver's timeout delivers SIGTERM before SIGKILL: emit
+    # best-known-so-far instead of dying silent. Children are killed so
+    # they can't keep writing sections after the record is emitted.
+    children: list = []
+
+    def _on_signal(signum, frame):
+        for c in list(children):
+            try:
+                c.kill()
+            except Exception:
+                pass
+        emit_best(f"terminated by signal {signum}; "
+                  "best-known-so-far record", note_on_live=True)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    def _run_child(args: list, timeout: float, env=None) -> int:
+        """subprocess.run with the child registered for signal-time
+        kill. Returns the returncode (-1 on timeout/raise)."""
+        try:
+            p = subprocess.Popen(args, cwd=_SCRIPT_DIR, env=env)
+        except Exception:
+            traceback.print_exc()
+            return -1
+        children.append(p)
+        try:
+            return p.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            return -1
+        except Exception:
+            traceback.print_exc()
+            return -1
+        finally:
+            children.remove(p)
 
     # The probe (and every measurement) runs in a CHILD process: the
     # orchestrator itself never initializes the TPU client, so it can
@@ -1282,22 +1411,19 @@ def main():
     # process would just queue behind jax's init lock, so in-process
     # retries never actually retry the connection.
     def probe_ok() -> bool:
-        budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "7200"))
+        budget = min(
+            float(os.environ.get("BENCH_PROBE_BUDGET_S", "7200")),
+            max(30.0, remaining() - 30.0),
+        )
         deadline = time.monotonic() + budget
         attempt = 0
         while True:
             attempt += 1
-            try:
-                rc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--probe"],
-                    timeout=240.0, cwd=_HERE,
-                ).returncode
-            except subprocess.TimeoutExpired:
-                rc = -1
-            except Exception:
-                traceback.print_exc()
-                rc = -1
+            rc = _run_child(
+                [sys.executable, os.path.abspath(__file__), "--probe"],
+                timeout=min(240.0,
+                            max(10.0, deadline - time.monotonic())),
+            )
             if rc == 0:
                 return True
             if time.monotonic() >= deadline:
@@ -1306,38 +1432,29 @@ def main():
                   f"retrying ({int(deadline - time.monotonic())}s of "
                   "budget left)", file=sys.stderr)
             sys.stderr.flush()
-            time.sleep(120.0)
+            time.sleep(min(120.0, max(1.0,
+                                      deadline - time.monotonic())))
 
     if not probe_ok():
-        fb = _fallback_record(
-            metric,
-            "live device unreachable within probe budget (axon TPU "
-            "relay down); this is the most recent completed "
-            "on-hardware measurement (BENCH_MEASURED.json)",
-        )
-        if fb:
-            _emit(fb)
-        _emit(
-            {
-                "metric": metric,
-                "value": None,
-                "unit": "images/sec/chip",
-                "vs_baseline": None,
-                "detail": {
-                    "error": "device unreachable within probe budget "
-                             "(axon TPU relay down?); see "
-                             "BENCH_PROBE_BUDGET_S",
-                },
-            }
-        )
+        emit_best("device unreachable within probe budget (axon TPU "
+                  "relay down?); see BENCH_PROBE_BUDGET_S / "
+                  "BENCH_TOTAL_BUDGET_S")
 
-    # Fresh sections for this invocation (BENCH_RESUME=1 keeps prior
-    # section results and re-measures only what's missing).
-    if os.environ.get("BENCH_RESUME", "0") != "1":
+    # Sections RESUME by default: results from an earlier invocation
+    # this round (same batch/model — the _meta guard) are kept, and
+    # only missing sections are measured. A full sweep needs hours; the
+    # driver's budget fits only a slice, so the round's long manual
+    # runs land sections and the driver's final run re-emits them
+    # live-assembled. BENCH_RESUME=0 forces a fresh sweep.
+    meta = {"batch_size": batch_size, "model": model}
+    sec = _load_sections()
+    stale = sec.get("_meta") is not None and sec.get("_meta") != meta
+    if os.environ.get("BENCH_RESUME", "1") != "1" or stale:
         try:
             os.remove(SECTIONS_PATH)
         except FileNotFoundError:
             pass
+    _merge_section("_meta", meta)
 
     names = ["headline", "pass1", "phases"]
     if os.environ.get("BENCH_GSAM", "1") != "0":
@@ -1375,6 +1492,11 @@ def main():
         else:
             attempts.append((name, None))
     for name, env_over in attempts:
+        if remaining() < 120.0:
+            print("[bench] total budget exhausted; stopping section "
+                  "runs (raise BENCH_TOTAL_BUDGET_S for a full sweep)",
+                  file=sys.stderr)
+            break
         if name in _load_sections():
             print(f"[bench] section '{name}' already recorded; skipping",
                   file=sys.stderr)
@@ -1384,17 +1506,15 @@ def main():
         sys.stderr.flush()
         env = dict(os.environ)
         env.update(env_over or {})
-        try:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--section", name, str(batch_size), model],
-                timeout=headline_to if name == "headline" else default_to,
-                cwd=_HERE, env=env,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"[bench] section '{name}' timed out", file=sys.stderr)
-        except Exception:
-            traceback.print_exc()
+        to = headline_to if name == "headline" else default_to
+        rc = _run_child(
+            [sys.executable, os.path.abspath(__file__),
+             "--section", name, str(batch_size), model],
+            timeout=min(to, max(30.0, remaining() - 60.0)), env=env,
+        )
+        if rc != 0:
+            print(f"[bench] section '{name}' child exited rc={rc}",
+                  file=sys.stderr)
         if name not in _load_sections():
             # section failed — if the cause is a relay outage (r4: int8
             # died to remote_compile connection-refused mid-run), every
@@ -1420,26 +1540,7 @@ def main():
             except Exception:
                 pass
 
-    record = _assemble(_load_sections(), batch_size, model)
-    if record is not None:
-        _emit(_merge_prior_detail(record))
-    fb = _fallback_record(
-        metric,
-        "live headline measurement failed this run; this is the most "
-        "recent completed on-hardware measurement (BENCH_MEASURED.json)",
-    )
-    if fb:
-        _emit(fb)
-    _emit(
-        {
-            "metric": metric,
-            "value": None,
-            "unit": "images/sec/chip",
-            "vs_baseline": None,
-            "detail": {"error": "headline measurement failed "
-                                "(see stderr traceback)"},
-        }
-    )
+    emit_best("live headline measurement failed this run")
 
 
 if __name__ == "__main__":

@@ -142,6 +142,7 @@ def test_merge_prior_detail_fills_null_leaves(tmp_path, monkeypatch):
         "metric": metric,
         "value": 0.77,
         "detail": {
+            "batch_size": 4,
             "step_seconds_gsam_recipe": 9.1,
             "sdxl": {"dt_full": 7.0},
             "device": "TPU v5 lite0",
@@ -157,10 +158,11 @@ def test_merge_prior_detail_fills_null_leaves(tmp_path, monkeypatch):
         "metric": metric,
         "value": 0.78,
         "detail": {
+            "batch_size": 4,
             "step_seconds_gsam_recipe": None,
             "sdxl": None,
             "step_seconds_full_recipe": 5.1,
-            "device": "fresh-device",
+            "device": "TPU v5 lite0",
             "phase_breakdown": {"pass1_50_fused_fwd": {"s": 2.9}},
         },
     }
@@ -174,9 +176,8 @@ def test_merge_prior_detail_fills_null_leaves(tmp_path, monkeypatch):
         "sdxl",
         "step_seconds_gsam_recipe",
     ]
-    # fresh non-null values, device, and note are never overwritten
+    # fresh non-null values and note are never overwritten
     assert d["step_seconds_full_recipe"] == 5.1
-    assert d["device"] == "fresh-device"
     assert "note" not in d
     # per-phase merge keeps the fresh phase, adds the missing one
     assert d["phase_breakdown"]["pass1_50_fused_fwd"]["s"] == 2.9
@@ -195,3 +196,65 @@ def test_merge_prior_detail_gates(tmp_path, monkeypatch):
     got = bench._merge_prior_detail(json.loads(json.dumps(fresh)))
     assert got["detail"]["x"] is None
     assert "prior_run_fields" not in got["detail"]
+
+
+def test_merge_prior_detail_gates_batch_and_device(tmp_path, monkeypatch):
+    """ADVICE r4: a prior record measured at a different batch size or
+    on different hardware must not donate numbers."""
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    prior = {"metric": "m", "value": 0.7,
+             "detail": {"batch_size": 8, "device": "TPU v5 lite0",
+                        "x": 5.0}}
+    (tmp_path / "BENCH_MEASURED.json").write_text(json.dumps(prior))
+    fresh = {"metric": "m", "value": 1.0,
+             "detail": {"batch_size": 4, "device": "TPU v5 lite0",
+                        "x": None}}
+    got = bench._merge_prior_detail(json.loads(json.dumps(fresh)))
+    assert got["detail"]["x"] is None  # batch mismatch
+    prior["detail"]["batch_size"] = 4
+    prior["detail"]["device"] = "TPU v6"
+    (tmp_path / "BENCH_MEASURED.json").write_text(json.dumps(prior))
+    got = bench._merge_prior_detail(json.loads(json.dumps(fresh)))
+    assert got["detail"]["x"] is None  # device mismatch
+    prior["detail"]["device"] = "TPU v5 lite0"
+    (tmp_path / "BENCH_MEASURED.json").write_text(json.dumps(prior))
+    got = bench._merge_prior_detail(json.loads(json.dumps(fresh)))
+    assert got["detail"]["x"] == 5.0  # both match -> merge
+
+
+def test_merge_prior_detail_remat_rides_with_timing(tmp_path, monkeypatch):
+    """ADVICE r4: None is a meaningful remat level ('ran remat-free');
+    a fresh remat-free measurement must NOT inherit the prior run's
+    remat level. The level is copied only when its paired timing was."""
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    metric = "m"
+    prior = {"metric": metric, "value": 0.7, "detail": {
+        "step_seconds_full_recipe_int8": 5.0, "int8_remat_min_res": 64,
+        "step_seconds_full_recipe": 5.2, "remat_min_res": 64,
+    }}
+    (tmp_path / "BENCH_MEASURED.json").write_text(json.dumps(prior))
+    # fresh run measured int8 REMAT-FREE: its None level must survive
+    fresh = {"metric": metric, "value": 0.8, "detail": {
+        "step_seconds_full_recipe_int8": 4.6, "int8_remat_min_res": None,
+        "step_seconds_full_recipe": None, "remat_min_res": None,
+    }}
+    got = bench._merge_prior_detail(json.loads(json.dumps(fresh)))
+    d = got["detail"]
+    assert d["int8_remat_min_res"] is None          # fresh measurement wins
+    assert d["step_seconds_full_recipe"] == 5.2     # timing copied...
+    assert d["remat_min_res"] == 64                 # ...so its level rides
+    assert "step_seconds_full_recipe" in d["prior_run_fields"]
+    assert "int8_remat_min_res" not in d["prior_run_fields"]
+
+
+def test_merge_prior_detail_fresh_schema_is_authoritative(
+        tmp_path, monkeypatch):
+    """ADVICE r4: keys removed from _assemble's schema must not be
+    resurrected from old records forever."""
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    prior = {"metric": "m", "value": 0.7,
+             "detail": {"renamed_old_field": 3.0}}
+    (tmp_path / "BENCH_MEASURED.json").write_text(json.dumps(prior))
+    fresh = {"metric": "m", "value": 1.0, "detail": {"x": None}}
+    got = bench._merge_prior_detail(fresh)
+    assert "renamed_old_field" not in got["detail"]
