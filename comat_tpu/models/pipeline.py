@@ -339,6 +339,7 @@ class DiffusionPipeline:
         eos_positions: Optional[jnp.ndarray] = None,
         null_eos_positions: Optional[jnp.ndarray] = None,
         input_ids2: Optional[jnp.ndarray] = None,
+        null_ids2: Optional[jnp.ndarray] = None,
         train_text_encoder: bool = False,
         capture: bool = False,
         latents0: Optional[jnp.ndarray] = None,
@@ -373,7 +374,9 @@ class DiffusionPipeline:
             params, input_ids, eos_positions, input_ids2, train_text_encoder
         )
         nenc = self.encode_prompt(
-            params, null_ids, null_eos_positions, null_ids, train_text_encoder
+            params, null_ids, null_eos_positions,
+            null_ids2 if null_ids2 is not None else null_ids,
+            train_text_encoder,
         )
         added = null_added = None
         if cfg.is_sdxl:
@@ -533,6 +536,7 @@ class DiffusionPipeline:
         eos_positions: Optional[jnp.ndarray] = None,
         null_eos_positions: Optional[jnp.ndarray] = None,
         input_ids2: Optional[jnp.ndarray] = None,
+        null_ids2: Optional[jnp.ndarray] = None,
         fuse_pass1: bool = True,
         pass1_int8: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -553,7 +557,8 @@ class DiffusionPipeline:
         params = jax.tree_util.tree_map(sg, params)
         enc = self.encode_prompt(params, input_ids, eos_positions, input_ids2)
         nenc = self.encode_prompt(
-            params, null_ids, null_eos_positions, null_ids
+            params, null_ids, null_eos_positions,
+            null_ids2 if null_ids2 is not None else null_ids,
         )
         added = null_added = None
         if cfg.is_sdxl:
@@ -603,6 +608,7 @@ class DiffusionPipeline:
         guidance_rescale: float = 0.0,
         eos_positions: Optional[jnp.ndarray] = None,
         input_ids2: Optional[jnp.ndarray] = None,
+        null_ids2: Optional[jnp.ndarray] = None,
         kind: str = "ddpm",
         output_type: str = "image",
         latents0: Optional[jnp.ndarray] = None,
@@ -613,7 +619,10 @@ class DiffusionPipeline:
         cfg = self.cfg
         B = input_ids.shape[0]
         enc = self.encode_prompt(params, input_ids, eos_positions, input_ids2)
-        nenc = self.encode_prompt(params, null_ids, None, null_ids)
+        nenc = self.encode_prompt(
+            params, null_ids, None,
+            null_ids2 if null_ids2 is not None else null_ids,
+        )
         added = null_added = None
         if cfg.is_sdxl:
             added = self.sdxl_added_cond(enc.pooled, B)

@@ -72,7 +72,8 @@ class CLIPBPETokenizer:
     and wraps with BOS/EOS like HF CLIPTokenizer.
     """
 
-    def __init__(self, vocab_path: str, merges_path: str):
+    def __init__(self, vocab_path: str, merges_path: str,
+                 pad_token_id: Optional[int] = None):
         with open(vocab_path, "r", encoding="utf-8") as f:
             self.encoder: Dict[str, int] = json.load(f)
         self.decoder = {v: k for k, v in self.encoder.items()}
@@ -91,7 +92,12 @@ class CLIPBPETokenizer:
         self.cache: Dict[str, str] = {}
         self.bos_token_id = self.encoder.get("<|startoftext|>", CLIP_BOS)
         self.eos_token_id = self.encoder.get("<|endoftext|>", CLIP_EOS)
-        self.pad_token_id = self.eos_token_id  # CLIP pads with EOS
+        # CLIP-L pads with EOS; SDXL's tokenizer_2 pads with "!" (id 0)
+        # — pass pad_token_id=0 for that variant (HF CLIPTokenizer
+        # pad_token differs between SDXL's tokenizer and tokenizer_2).
+        self.pad_token_id = (
+            self.eos_token_id if pad_token_id is None else pad_token_id
+        )
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -288,11 +294,14 @@ class HashTokenizer:
     Mimics CLIP conventions (BOS/EOS wrap, EOS pad) with a small vocab.
     """
 
-    def __init__(self, vocab_size: int = 1000):
+    def __init__(self, vocab_size: int = 1000,
+                 pad_token_id: Optional[int] = None):
         self.vocab_size = vocab_size
         self.bos_token_id = 1
         self.eos_token_id = 2
-        self.pad_token_id = 2
+        # pad_token_id=0 mimics SDXL's tokenizer_2 ("!"-padding) so
+        # tiny tests can assert input_ids2 != input_ids under padding
+        self.pad_token_id = 2 if pad_token_id is None else pad_token_id
         self.cls_token_id = 1
         self.sep_token_id = 2
 
@@ -350,11 +359,15 @@ class HashTokenizer:
         }
 
 
-def load_clip_tokenizer(model_dir: Optional[str] = None):
-    """CLIP tokenizer from a local HF snapshot dir, else HashTokenizer."""
+def load_clip_tokenizer(model_dir: Optional[str] = None,
+                        pad_token_id: Optional[int] = None):
+    """CLIP tokenizer from a local HF snapshot dir, else HashTokenizer.
+
+    `pad_token_id=0` builds the SDXL tokenizer_2 variant (same
+    vocab/merges, "!"-id-0 padding)."""
     if model_dir:
         v = os.path.join(model_dir, "vocab.json")
         m = os.path.join(model_dir, "merges.txt")
         if os.path.exists(v) and os.path.exists(m):
-            return CLIPBPETokenizer(v, m)
-    return HashTokenizer(49408)
+            return CLIPBPETokenizer(v, m, pad_token_id=pad_token_id)
+    return HashTokenizer(49408, pad_token_id=pad_token_id)

@@ -163,6 +163,9 @@ def parse_args(argv=None):
     # --- TPU-native extras (no reference equivalent) ---
     p.add_argument("--tokenizer_dir", type=str, default=None,
                    help="local CLIP tokenizer files (vocab.json+merges)")
+    p.add_argument("--tokenizer2_dir", type=str, default=None,
+                   help="SDXL tokenizer_2 files (defaults to "
+                        "--tokenizer_dir; same BPE, pad token '!'=0)")
     p.add_argument("--blip_tokenizer_vocab", type=str, default=None)
     p.add_argument("--tiny_models", action="store_true",
                    help="CPU-runnable tiny geometry (testing)")

@@ -158,8 +158,15 @@ def assemble_batch(
         "caption_labels": pad_to(cap["labels"], caption_bucket, -100),
     }
     if clip_tokenizer2 is not None:
+        # SDXL second tokenizer (reference
+        # AttrConcenTrainableSDXLPipeline.py:21-22; diffusers
+        # encode_prompt runs BOTH tokenizers): same BPE, different pad
+        # token ("!" id 0 vs CLIP-L's EOS), so the padded rows differ.
         batch["input_ids2"] = clip_tokenizer2(
             list(prompts), max_length=max_length
+        )["input_ids"]
+        batch["null_ids2"] = clip_tokenizer2(
+            [""] * B, max_length=max_length
         )["input_ids"]
     if latent_store is not None:
         batch["gt_latents"] = latent_store.batch(prompts).astype(np.float32)

@@ -298,8 +298,11 @@ def _make_null_ctx_for_d(pipeline: DiffusionPipeline, disc):
             eos = batch.get("eos_positions") if condition else None
             hidden, _ = pipeline.text.apply(params["text"], ids, eos)
             return jax.lax.stop_gradient(hidden), None
+        ids2 = (batch.get("input_ids2") if condition
+                else batch.get("null_ids2"))
         enc = pipeline.encode_prompt(
-            params, ids, batch.get("eos_positions") if condition else None
+            params, ids, batch.get("eos_positions") if condition else None,
+            input_ids2=ids2,
         )
         added = None
         if pipeline.cfg.is_sdxl:
@@ -371,6 +374,7 @@ def make_loss_fn(
             guidance_rescale=cfg.guidance_rescale,
             eos_positions=batch.get("eos_positions"),
             input_ids2=batch.get("input_ids2"),
+            null_ids2=batch.get("null_ids2"),
             train_text_encoder=cfg.train_text_encoder,
             capture=cfg.attrcon,
             # the (trainable, frozen) partition enables cached-primal
@@ -576,6 +580,7 @@ def make_presample(pipeline, cfg: TrainConfig):
             guidance_rescale=cfg.guidance_rescale,
             eos_positions=batch.get("eos_positions"),
             input_ids2=batch.get("input_ids2"),
+            null_ids2=batch.get("null_ids2"),
             fuse_pass1=not cfg.gradient_checkpointing,
             pass1_int8=cfg.pass1_int8,
         )

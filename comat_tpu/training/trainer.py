@@ -171,6 +171,23 @@ class Trainer:
                     "would tokenize with a HashTokenizer"
                 )
                 self.caption_tok = HashTokenizer(self.blip_cfg.vocab_size)
+        # SDXL second tokenizer (reference
+        # AttrConcenTrainableSDXLPipeline.py:21-22): same BPE vocab as
+        # tokenizer 1 but pads with "!" (id 0) instead of EOS, so its
+        # padded ids differ and the bigG encoder must see THEM — the
+        # r4 gap was hardwiring clip_tokenizer2=None here.
+        self.clip_tok2 = None
+        if self.pcfg.is_sdxl:
+            if tiny:
+                self.clip_tok2 = HashTokenizer(
+                    self.pcfg.text.vocab_size, pad_token_id=0
+                )
+            else:
+                self.clip_tok2 = load_clip_tokenizer(
+                    getattr(args, "tokenizer2_dir", None)
+                    or args.tokenizer_dir,
+                    pad_token_id=0,
+                )
 
         rng = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
         self.rng, init_rng, blip_rng = jax.random.split(rng, 3)
@@ -724,7 +741,7 @@ class Trainer:
                     prompts, self.clip_tok, self.caption_tok,
                     max_length=self.pcfg.text.max_length,
                     latent_store=self.latent_store,
-                    clip_tokenizer2=None,
+                    clip_tokenizer2=self.clip_tok2,
                 )
                 if self.seg_holder is not None:
                     from comat_tpu.training.attrcon import attrcon_batch_fields
@@ -844,7 +861,9 @@ class Trainer:
                 total_limit=args.checkpoints_total_limit,
             )
             ckpt_lib.export_lora_safetensors(
-                os.path.join(path, "lora_weights.safetensors"),
+                # the reference's exact artifact name, loadable by
+                # diffusers LoraLoaderMixin (training_script.py:397-401)
+                os.path.join(path, "pytorch_lora_weights.safetensors"),
                 jax.device_get(self.state.trainable),
             )
             self.logger.info("saved checkpoint %s", path)
@@ -879,33 +898,54 @@ class Trainer:
             prompts = list(vp)
         if getattr(args, "validation_prompts_file", None):
             prompts = prompts + load_prompts(args.validation_prompts_file)
-        prompts = [p.strip() for p in prompts if p.strip()][:4]
+        prompts = [p.strip() for p in prompts if p.strip()]
+        # Reference fidelity (training_script.py:456-489): EVERY
+        # validation prompt, at the FULL configured step count, for
+        # --num_validation_images rounds, one prompt at a time ("avoid
+        # oom by shrinking bs", :467-468). Caps apply only under
+        # --tiny_models (CI geometry), never silently in real runs.
+        tiny = bool(getattr(args, "tiny_models", False))
+        if tiny:
+            prompts = prompts[:4]
+        n_steps = min(args.total_step, 25) if tiny else args.total_step
         from comat_tpu.training.train_step import merge_params
 
         params = merge_params(
             jax.device_get(self.state.trainable),
             jax.device_get(self.frozen),
         )
-        enc = self.clip_tok(prompts, max_length=self.pcfg.text.max_length)
-        null = self.clip_tok([""] * len(prompts),
-                             max_length=self.pcfg.text.max_length)
-        # The reference swaps in a DPM++ eval scheduler and generates
-        # --num_validation_images rounds per prompt with a seeded
-        # generator (training_script.py:428-489).
+        L = self.pcfg.text.max_length
+        enc = self.clip_tok(prompts, max_length=L)
+        null = self.clip_tok([""], max_length=L)
+        enc2 = null2 = None
+        if self.clip_tok2 is not None:
+            enc2 = self.clip_tok2(prompts, max_length=L)
+            null2 = self.clip_tok2([""], max_length=L)
+        # eval scheduler follows --scheduler like the reference swap
+        # (DPM++ multistep or DDPM with fixed_small variance, :441-454)
+        kind = "dpmpp" if args.scheduler == "DPM++" else "ddpm"
         rounds = max(1, getattr(args, "num_validation_images", 1) or 1)
         for r in range(rounds):
-            rng = jax.random.fold_in(
-                jax.random.PRNGKey(args.seed or 0), r
-            )
-            images = self.pipeline.generate(
-                params, rng,
-                jnp.asarray(enc["input_ids"]),
-                jnp.asarray(null["input_ids"]),
-                num_inference_steps=min(args.total_step, 25),
-                guidance_scale=args.cfg_scale,
-                eos_positions=jnp.asarray(enc["eos_positions"]),
-                kind="dpmpp",
-            )
+            rows = []
+            for i in range(len(prompts)):
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed or 0), r * 100003 + i
+                )
+                img = self.pipeline.generate(
+                    params, rng,
+                    jnp.asarray(enc["input_ids"][i:i + 1]),
+                    jnp.asarray(null["input_ids"]),
+                    num_inference_steps=n_steps,
+                    guidance_scale=args.cfg_scale,
+                    guidance_rescale=args.cfg_rescale,
+                    eos_positions=jnp.asarray(enc["eos_positions"][i:i + 1]),
+                    input_ids2=(jnp.asarray(enc2["input_ids"][i:i + 1])
+                                if enc2 is not None else None),
+                    null_ids2=(jnp.asarray(null2["input_ids"])
+                               if null2 is not None else None),
+                    kind=kind,
+                )
+                rows.append(np.asarray(img)[0])
             self.metrics.log_images(
-                f"validation_{r}", np.asarray(images), self.global_step
+                f"validation_{r}", np.stack(rows), self.global_step
             )

