@@ -542,6 +542,97 @@ def load_unet_params(path: str, unet_params):
     return convert_tree(unet_params, tensors, _unet_hf_name)
 
 
+# ---------------------------------------------------------------------
+# diffusers LoRA interop (export + import of the LoraLoaderMixin layout)
+# ---------------------------------------------------------------------
+
+# The reference saves pytorch_lora_weights.safetensors keyed
+# `unet.<module>.lora.{down,up}.weight` via unet_lora_state_dict
+# (training_script.py:50-66, saved through
+# LoraLoaderMixin.save_lora_weights :397-401). _unet_hf_name's import
+# side maps the older attn-processor layout
+# (`<block>.attnX.processor.to_*_lora.{down,up}.weight` — what the
+# torch-twin fixtures emit); this regex bridges the two.
+_LORA_MODULE_RE = re.compile(
+    r"^unet\.(.+)\.(attn[12])\.(to_q|to_k|to_v|to_out\.0)"
+    r"\.lora\.(down|up)\.weight$"
+)
+
+
+def alias_diffusers_lora_keys(
+    tensors: Dict[str, np.ndarray]
+) -> Dict[str, np.ndarray]:
+    """Accept the reference's LoraLoaderMixin key layout by aliasing
+    each `unet.<module>.lora.{down,up}.weight` tensor to the
+    attn-processor name `_unet_hf_name` maps."""
+    out = dict(tensors)
+    for k, v in tensors.items():
+        m = _LORA_MODULE_RE.match(k)
+        if m:
+            block, attn, proj, dd = m.groups()
+            proj = "to_out" if proj == "to_out.0" else proj
+            out[f"{block}.{attn}.processor.{proj}_lora.{dd}.weight"] = v
+    return out
+
+
+def diffusers_lora_export_name(keys: Tuple[str, ...]) -> Optional[str]:
+    """LoraLoaderMixin safetensors key for one lora_a/lora_b leaf of
+    the TRAINABLE tree (keys start at the component: unet/text/text2).
+    Returns None for non-LoRA leaves. The tensor itself must be
+    transposed to torch orientation (down: (rank,in), up: (out,rank))."""
+    if len(keys) < 2:
+        return None
+    comp, rest = keys[0], list(keys[1:])
+    if rest and rest[0] == "params":
+        rest = rest[1:]
+    if not rest or rest[-1] not in ("lora_a", "lora_b"):
+        return None
+    dd = "down" if rest[-1] == "lora_a" else "up"
+    if comp == "unet" and len(rest) == 5:
+        top, blk, attn, proj, _ = rest
+        if attn not in ("attn1", "attn2"):
+            return None
+        if top == "mid_attn":
+            base = "mid_block.attentions.0"
+        else:
+            m = re.fullmatch(r"(down|up)_(\d+)_attn_(\d+)", top)
+            if not m:
+                return None
+            base = (f"{m.group(1)}_blocks.{m.group(2)}"
+                    f".attentions.{m.group(3)}")
+        mb = re.fullmatch(r"blocks_(\d+)", blk)
+        if not mb or proj not in ("to_q", "to_k", "to_v", "to_out"):
+            return None
+        mod = (f"{base}.transformer_blocks.{mb.group(1)}.{attn}."
+               + ("to_out.0" if proj == "to_out" else proj))
+        return f"unet.{mod}.lora.{dd}.weight"
+    if comp in ("text", "text2") and len(rest) == 3:
+        layer, proj, _ = rest
+        m = re.fullmatch(r"layers_(\d+)", layer)
+        if not m or proj not in ("q_proj", "k_proj", "v_proj",
+                                 "out_proj"):
+            return None
+        pre = "text_encoder" if comp == "text" else "text_encoder_2"
+        return (f"{pre}.text_model.encoder.layers.{m.group(1)}"
+                f".self_attn.{proj}.lora.{dd}.weight")
+    return None
+
+
+def load_lora_safetensors(path: str, unet_params):
+    """Import a pytorch_lora_weights.safetensors (either the
+    reference's LoraLoaderMixin layout or the attn-processor layout)
+    into a UNet param tree. Returns (params, missing)."""
+    from safetensors import safe_open
+
+    tensors = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            tensors[k] = f.get_tensor(k)
+    return convert_tree(
+        unet_params, alias_diffusers_lora_keys(tensors), _unet_hf_name
+    )
+
+
 def load_sd_params(snapshot_dir: str, params, pcfg):
     """Load a diffusers SD snapshot (unet/ vae/ text_encoder/
     [text_encoder_2/]) into a pipeline param tree."""

@@ -143,12 +143,28 @@ def restore_params(ckpt_path: str, params):
 
 
 def export_lora_safetensors(path: str, trainable) -> None:
-    """Interop export of the LoRA subtree (reference saves
-    pytorch_lora_weights.safetensors — training_script.py:397-401)."""
+    """Interop export of the LoRA subtree in the reference's
+    pytorch_lora_weights.safetensors layout: `unet.<module>.lora.
+    {down,up}.weight` keys, torch (out,in) orientation — exactly what
+    `unet_lora_state_dict` + LoraLoaderMixin.save_lora_weights write
+    (training_script.py:50-66,397-401), so diffusers can load the
+    adapter directly. LoRA leaves that have no diffusers module (and
+    non-LoRA trainable leaves under --full_finetuning/--tune_vae) fall
+    back to raw tree-path keys."""
     from safetensors.numpy import save_file
 
-    flat = {
-        k: np.asarray(v)
-        for k, v in flatten_tree(trainable).items()
-    }
+    from comat_tpu.models.hf_import import diffusers_lora_export_name
+
+    flat = {}
+    for k, v in flatten_tree(trainable).items():
+        arr = np.asarray(v)
+        name = diffusers_lora_export_name(tuple(k.split("/")))
+        if name is not None:
+            # ours: lora_a (in, rank) / lora_b (rank, out);
+            # torch LoRALinearLayer: down (rank, in) / up (out, rank)
+            flat[name] = np.ascontiguousarray(arr.T.astype(np.float32))
+        else:
+            if arr.dtype.name == "bfloat16":  # no numpy-native bf16
+                arr = arr.astype(np.float32)
+            flat[k] = arr
     save_file(flat, path)

@@ -47,13 +47,48 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ck.latest_checkpoint(str(tmp_path)).endswith("checkpoint-20")
     assert not os.path.exists(os.path.join(str(tmp_path), "checkpoint-7"))
 
-    # safetensors export
-    sft = os.path.join(str(tmp_path), "lora.safetensors")
+    # safetensors export in the diffusers LoraLoaderMixin layout
+    sft = os.path.join(str(tmp_path), "pytorch_lora_weights.safetensors")
     ck.export_lora_safetensors(sft, jax.device_get(state.trainable))
     from safetensors.numpy import load_file
 
     loaded = load_file(sft)
     assert len(loaded) > 0
+    # every UNet LoRA leaf exported under the reference's key layout
+    # (unet.<module>.lora.{down,up}.weight — training_script.py:50-66)
+    lora_keys = [k for k in loaded if k.startswith("unet.")]
+    assert lora_keys, sorted(loaded)[:5]
+    assert all(k.endswith((".lora.down.weight", ".lora.up.weight"))
+               for k in lora_keys)
+    # torch orientation: down is (rank, in) — rank is the smaller dim
+    for k in lora_keys:
+        if k.endswith(".lora.down.weight"):
+            r, i = loaded[k].shape
+            assert r <= i, (k, loaded[k].shape)
+
+    # round trip (VERDICT r4 #5): re-import through hf_import naming
+    # and match the original trainable leaves bitwise
+    from comat_tpu.models.hf_import import load_lora_safetensors
+
+    zeroed = jax.tree_util.tree_map(
+        lambda x: None if x is None else jnp.zeros_like(x),
+        state.trainable["unet"],
+        is_leaf=lambda x: x is None,
+    )
+    reimported, _ = load_lora_safetensors(sft, zeroed)
+    got = {
+        "/".join(k.split("/")): v
+        for k, v in ck.flatten_tree(reimported).items()
+    }
+    want = ck.flatten_tree(jax.device_get(state.trainable)["unet"])
+    n_lora = 0
+    for k, v in want.items():
+        if "lora_" in k:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(v), err_msg=k
+            )
+            n_lora += 1
+    assert n_lora > 0
 
 
 def test_prompt_dataset_process_sharding():
