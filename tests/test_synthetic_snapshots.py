@@ -206,6 +206,73 @@ def test_parity_cli_synthetic_snapshot_tiers(tmp_path):
 
 
 @pytest.mark.slow
+def test_trainer_sdxl_unet_path_synthetic(tmp_path):
+    """--sdxl_unet_path through the SDXL FAMILY (VERDICT r4 #7): a
+    fabricated fine-tuned SDXL UNet snapshot loads over the base
+    snapshot (reference training_utils/pipeline.py:28 swaps in a
+    512-finetuned UNet), the loaded UNet differs from the base, and
+    encoder-2 comes from text_encoder_2/."""
+    from comat_tpu.training.arguments import parse_args
+    from comat_tpu.training.train_step import merge_params
+    from comat_tpu.training.trainer import Trainer
+
+    pcfg = make_pipeline_config("sdxl_unet", lora_rank=0, tiny=True)
+    pipe = DiffusionPipeline(pcfg)
+    base = pipe.init_params(jax.random.PRNGKey(5))
+    snap = tmp_path / "sdxl"
+    for comp, sub, mapper, fn in [
+        ("unet", "unet", _unet_hf_name, "diffusion_pytorch_model"),
+        ("vae", "vae", _vae_hf_name, "diffusion_pytorch_model"),
+        ("text", "text_encoder", _clip_hf_name, "model"),
+        ("text2", "text_encoder_2", _clip_hf_name, "model"),
+    ]:
+        d = snap / sub
+        d.mkdir(parents=True, exist_ok=True)
+        save_file(
+            export_hf_tensors(base[comp], mapper),
+            str(d / f"{fn}.safetensors"),
+        )
+    ft = pipe.init_params(jax.random.PRNGKey(88))
+    unet_dir = tmp_path / "ft_sdxl_unet"
+    unet_dir.mkdir()
+    save_file(
+        export_hf_tensors(ft["unet"], _unet_hf_name),
+        str(unet_dir / "diffusion_pytorch_model.safetensors"),
+    )
+    prompts = tmp_path / "p.txt"
+    prompts.write_text("a red car\n")
+    t = Trainer(parse_args([
+        "--training_prompts", str(prompts),
+        "--output_dir", str(tmp_path / "out"),
+        "--tiny_models",
+        "--pretrain_model", str(snap),
+        "--pretrain_model_name", "sdxl_unet",
+        "--sdxl_unet_path", str(unet_dir),
+        "--train_batch_size", "1",
+        "--resolution", "64",
+        "--total_step", "4", "--K", "2",
+        "--max_train_steps", "1", "--validation_steps", "0",
+    ]))
+    params = merge_params(t.state.trainable, t.frozen)
+    got = np.asarray(params["unet"]["params"]["conv_in"]["kernel"])
+    # the fine-tuned UNet's values won, and they differ from the base's
+    np.testing.assert_array_equal(
+        got, np.asarray(ft["unet"]["params"]["conv_in"]["kernel"])
+    )
+    assert not np.array_equal(
+        got, np.asarray(base["unet"]["params"]["conv_in"]["kernel"])
+    )
+    # the second text encoder loaded from text_encoder_2/
+    t2_got = jax.tree_util.tree_leaves(params["text2"])
+    t2_want = jax.tree_util.tree_leaves(base["text2"])
+    assert len(t2_got) == len(t2_want)
+    for a, b in zip(t2_got, t2_want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # SDXL families construct the second tokenizer (pad id 0)
+    assert t.clip_tok2 is not None
+    assert t.clip_tok2.pad_token_id == 0
+
+
 def test_trainer_loads_synthetic_snapshots(tmp_path):
     """Trainer glue end-to-end: --pretrain_model DIR loads the SD tree,
     --sdxl_unet_path swaps the UNet over it, --caption_model_path loads
