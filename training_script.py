@@ -29,7 +29,18 @@ def maybe_init_distributed(environ=None, jax_module=None) -> bool:
         return False
     if jax_module is None:
         import jax as jax_module
-    jax_module.distributed.initialize()
+    # Explicit coordinator env vars support manual multi-process
+    # launches (CPU multi-proc CI, bare-metal TPU pods without a
+    # cluster autodetector). Absent them, initialize() autodetects
+    # (TPU pod metadata / SLURM / OMPI).
+    kwargs = {}
+    if env.get("COMAT_TPU_COORDINATOR"):
+        kwargs = dict(
+            coordinator_address=env["COMAT_TPU_COORDINATOR"],
+            num_processes=int(env["COMAT_TPU_NUM_PROCESSES"]),
+            process_id=int(env["COMAT_TPU_PROCESS_ID"]),
+        )
+    jax_module.distributed.initialize(**kwargs)
     return True
 
 
