@@ -10,6 +10,12 @@
 #   - multi-device gsam presample path (image-dependent segmenter on
 #     the 8-device mesh)
 #   - synthetic-snapshot loader tiers (parity CLI + trainer glue)
+#   - TRUE multi-process training (2 procs x 4 CPU devices over gloo)
+#   - miniparse agreement vs the manual UD parse cache
+#
+# The real-geometry twin fixture (true SD1.5 channel widths, fp32,
+# ~30-60 min single-core) runs separately:
+#   python -m comat_tpu.tools.step_loss_fixture --real
 #
 # ~15-25 min warm on the 1-core host (persistent jax compile cache).
 # Writes a timestamped log under data/release_logs/ so the run is
@@ -25,4 +31,6 @@ python -m pytest \
     tests/test_sdxl_e2e.py \
     tests/test_multichip_gsam.py \
     tests/test_synthetic_snapshots.py \
+    tests/test_multiprocess_train.py \
+    tests/test_parse_agreement.py \
     -q "$@" 2>&1 | tee "$LOG"
