@@ -1,9 +1,21 @@
 """The step-loss north-star fixture: JAX stack vs the independent
-torch twin, fp32, tiny geometry, seeded — asserting the BASELINE.json
-"SD1.5 CoMat step-loss parity within 1e-3" target with an
-implementation-independent cross-check of the diffusion backbone
-(UNet2DCondition / VAE decoder / DDPM scheduler — the largest numerics
-surface) plus the full loss assembly.
+torch twin, fp32, seeded — asserting the BASELINE.json "SD1.5 CoMat
+step-loss parity within 1e-3" target with an implementation-independent
+cross-check of the diffusion backbone (UNet2DCondition / VAE decoder /
+DDPM scheduler — the largest numerics surface) plus the full loss
+assembly.
+
+Two geometries (VERDICT r4 weak #4 / task 6):
+
+  - "tiny": 2-layer 32-dim towers, 128px, B=2, 10 steps — the fast
+    release-tier check, catches semantic divergence cheaply.
+  - "real": TRUE SD1.5 channel geometry — UNet (320,640,1280,1280)
+    x 8 heads, CLIP-L 768x12 at the real 49408 vocab, the real
+    (128,256,512,512) VAE, BLIP-large towers, LoRA rank 128 (the
+    published sd15.sh rank) — random weights, fp32, latent 32^2
+    (256px) and a short 4-step schedule to bound single-core cost.
+    This closes the geometry gap tiny fixtures cannot see (real
+    channel widths, head dims, 77-token alignment at real vocab).
 
 Method (the same twin method that validated CLIP/BLIP/GDINO/FastSAM):
 
@@ -42,25 +54,50 @@ import numpy as np
 
 TOL = 1e-3
 GRAD_TOL = 1e-3   # relative, per LoRA leaf (VERDICT r3 task 2)
-FIXTURE_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)
-    ))),
-    "fixtures", "step_loss_sd15.json",
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)
+)))
+FIXTURE_PATH = os.path.join(_REPO, "fixtures", "step_loss_sd15.json")
+FIXTURE_PATH_REAL = os.path.join(
+    _REPO, "fixtures", "step_loss_sd15_geometry.json"
 )
 
-# tiny-geometry fixture config (CPU-runnable; ratios match sd15.sh:
-# K=5 of total_step, attrcon 2 steps, gan w=1, token 1e-3 / pixel 5e-5)
+# Shared schedule knobs (ratios match sd15.sh: K of total_step, attrcon
+# A steps, gan w=1, token 1e-3 / pixel 5e-5).
 SEED = 0
-LORA_RANK = 4
-B = 2
-RESOLUTION = 128
-TOTAL_STEP = 10
-K = 5
-A = 2
 CFG_SCALE = 7.5
-CAPTURE_LAYERS = ("mid_2", "up_4", "up_8", "up_16")
 PROMPTS = ["a red car and a blue bird", "two green cats on a mat"]
+
+GEOMETRIES = {
+    # CPU-runnable tiny geometry: the committed fixture
+    # (fixtures/step_loss_sd15.json) — byte-stable since round 3.
+    "tiny": dict(
+        fixture="tiny_random_v1",
+        lora_rank=4, B=2, resolution=128, total_step=10, K=5, A=2,
+        gan=True,
+        capture_layers=("mid_2", "up_4", "up_8", "up_16"),
+        fixture_path=FIXTURE_PATH,
+    ),
+    # True SD1.5 channel geometry (see module docstring). latent 32^2,
+    # short schedule, B=1 — single-core-feasible, geometry-complete.
+    "real": dict(
+        fixture="sd15_geometry_v1",
+        lora_rank=128, B=1, resolution=256, total_step=4, K=2, A=2,
+        gan=True,
+        capture_layers=("mid_4", "up_8", "up_16", "up_32"),
+        fixture_path=FIXTURE_PATH_REAL,
+    ),
+}
+
+# Backwards-compatible module constants (tiny geometry) — tests and the
+# recorded fixture reference these.
+LORA_RANK = GEOMETRIES["tiny"]["lora_rank"]
+B = GEOMETRIES["tiny"]["B"]
+RESOLUTION = GEOMETRIES["tiny"]["resolution"]
+TOTAL_STEP = GEOMETRIES["tiny"]["total_step"]
+K = GEOMETRIES["tiny"]["K"]
+A = GEOMETRIES["tiny"]["A"]
+CAPTURE_LAYERS = GEOMETRIES["tiny"]["capture_layers"]
 
 
 def _aligned_masks(word_valid: np.ndarray, resolution: int) -> np.ndarray:
@@ -78,23 +115,28 @@ def _aligned_masks(word_valid: np.ndarray, resolution: int) -> np.ndarray:
 
 
 def run_fixture(record: bool = False,
-                fixture_path: Optional[str] = None) -> Dict:
+                fixture_path: Optional[str] = None,
+                geometry: str = "tiny") -> Dict:
     """Returns the comparison record; raises nothing (caller decides
     pass/fail from record['abs_delta'])."""
+    import dataclasses
+
     import torch
     import transformers
 
     import jax
     import jax.numpy as jnp
 
-    from comat_tpu.config import BLIPConfig, UNetConfig, VAEConfig
+    from comat_tpu.config import (
+        BLIPConfig, CLIPTextConfig, UNetConfig, VAEConfig,
+    )
     from comat_tpu.models.blip import BLIPCaptioner
     from comat_tpu.models.hf_import import (
         _blip_hf_name, _clip_hf_name, _unet_hf_name, _vae_hf_name,
         convert_tree,
     )
     from comat_tpu.models.pipeline import (
-        DiffusionPipeline, make_pipeline_config,
+        DiffusionPipeline, PipelineConfig, make_pipeline_config,
     )
     from comat_tpu.losses.caption_reward import build_caption_batch
     from comat_tpu.losses.gan import Discriminator, GanConfig
@@ -116,44 +158,91 @@ def run_fixture(record: bool = False,
 
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    G = GEOMETRIES[geometry]
+    real = geometry == "real"
+    lora_rank = G["lora_rank"]
+    Bn = G["B"]
+    resolution = G["resolution"]
+    total_step = G["total_step"]
+    Kv, Av = G["K"], G["A"]
+    capture_layers = G["capture_layers"]
+    prompts = PROMPTS[:Bn]
+    clip_vocab = 49408 if real else 1000
+    blip_vocab = 30524 if real else 1000
+    blip_image_size = 384 if real else 64
+
     # ---- 1. torch-side models, seeded random fp32 ----
     torch.manual_seed(SEED)
-    clip_cfg = transformers.CLIPTextConfig(
-        vocab_size=1000, hidden_size=32, intermediate_size=64,
-        num_hidden_layers=2, num_attention_heads=2,
-        max_position_embeddings=77, hidden_act="quick_gelu",
-        bos_token_id=0, eos_token_id=999,
-    )
+    if real:
+        clip_cfg = transformers.CLIPTextConfig(
+            vocab_size=clip_vocab, hidden_size=768,
+            intermediate_size=3072, num_hidden_layers=12,
+            num_attention_heads=12, max_position_embeddings=77,
+            hidden_act="quick_gelu", bos_token_id=1, eos_token_id=2,
+        )
+    else:
+        clip_cfg = transformers.CLIPTextConfig(
+            vocab_size=clip_vocab, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            max_position_embeddings=77, hidden_act="quick_gelu",
+            bos_token_id=0, eos_token_id=999,
+        )
     text_t = transformers.CLIPTextModel(clip_cfg).eval().float()
 
-    # Generator UNet carries LoRA rank 4 — the REAL trainable surface.
+    # Generator UNet carries LoRA — the REAL trainable surface.
     # diffusers initializes up=0 (LoRA contributes zero); re-seed the
     # up factors nonzero so (a) the forward exercises the LoRA path and
     # (b) dLoss/d(lora_a) is a meaningful gradient check (with up=0 it
     # is identically zero on both sides).
-    unet_t = TwinUNet(lora_rank=LORA_RANK).eval().float()
+    unet_kw = (
+        dict(block_out=(320, 640, 1280, 1280), heads=8, ctx_dim=768,
+             groups=32)
+        if real else {}
+    )
+    unet_t = TwinUNet(lora_rank=lora_rank, **unet_kw).eval().float()
     g_l = torch.Generator().manual_seed(SEED + 11)
     with torch.no_grad():
         for n, p in unet_t.named_parameters():
             if "_lora.up.weight" in n:
                 p.copy_(torch.randn(p.shape, generator=g_l) * 0.05)
-    vae_t = TwinVAEDecoder().eval().float()
-    d_unet_t = TwinUNet().eval().float()         # the GAN D's UNet
+    vae_kw = (
+        dict(block_out=(128, 256, 512, 512), layers_per_block=2,
+             groups=32)
+        if real else {}
+    )
+    vae_t = TwinVAEDecoder(**vae_kw).eval().float()
+    d_unet_t = TwinUNet(**unet_kw).eval().float()   # the GAN D's UNet
     g = torch.Generator().manual_seed(SEED + 7)
     d_head_w = torch.randn(1, 4, generator=g).numpy() * 0.5
     d_head_b = torch.randn(1, generator=g).numpy() * 0.1
 
-    vcfg = transformers.BlipVisionConfig(
-        image_size=64, patch_size=16, hidden_size=32,
-        num_hidden_layers=2, num_attention_heads=2,
-        intermediate_size=64,
-    )
-    tcfg_b = transformers.BlipTextConfig(
-        vocab_size=1000, hidden_size=32, num_hidden_layers=2,
-        num_attention_heads=2, intermediate_size=64,
-        encoder_hidden_size=32, max_position_embeddings=512,
-        is_decoder=True, bos_token_id=1,
-    )
+    if real:
+        # Salesforce/blip-image-captioning-large geometry (BLIPConfig
+        # defaults), random weights
+        vcfg = transformers.BlipVisionConfig(
+            image_size=384, patch_size=16, hidden_size=1024,
+            num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096,
+        )
+        tcfg_b = transformers.BlipTextConfig(
+            vocab_size=blip_vocab, hidden_size=768,
+            num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, encoder_hidden_size=1024,
+            max_position_embeddings=512, is_decoder=True,
+            bos_token_id=30522,
+        )
+    else:
+        vcfg = transformers.BlipVisionConfig(
+            image_size=64, patch_size=16, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=64,
+        )
+        tcfg_b = transformers.BlipTextConfig(
+            vocab_size=blip_vocab, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            encoder_hidden_size=32, max_position_embeddings=512,
+            is_decoder=True, bos_token_id=1,
+        )
     blip_t = transformers.BlipForConditionalGeneration(
         transformers.BlipConfig(
             text_config=tcfg_b.to_dict(), vision_config=vcfg.to_dict()
@@ -166,10 +255,22 @@ def run_fixture(record: bool = False,
     # (hf_import maps processor.{to_*}_lora.{down,up}.weight), so both
     # sides compute the same LoRA-bearing function and the gradient
     # check differentiates w.r.t. identical values.
-    pcfg = make_pipeline_config(
-        "sd_1_5_attrcon", lora_rank=LORA_RANK, resolution=RESOLUTION,
-        tiny=True,
-    )
+    if real:
+        f32 = jnp.float32
+        pcfg = PipelineConfig(
+            unet=dataclasses.replace(UNetConfig.sd15(), dtype=f32),
+            text=dataclasses.replace(CLIPTextConfig.sd15(), dtype=f32),
+            vae=dataclasses.replace(VAEConfig.sd15(), dtype=f32),
+            attrcon=True,
+            capture_layers=capture_layers,
+            lora_rank=lora_rank,
+            resolution=resolution,
+        )
+    else:
+        pcfg = make_pipeline_config(
+            "sd_1_5_attrcon", lora_rank=lora_rank, resolution=resolution,
+            tiny=True,
+        )
     pipe = DiffusionPipeline(pcfg)
     params = pipe.init_params(jax.random.PRNGKey(SEED))
 
@@ -191,14 +292,19 @@ def run_fixture(record: bool = False,
     miss_v = [m for m in miss_v if m.startswith("decoder")]
     unmapped = miss_u + miss_t + miss_v
 
-    blip = BLIPCaptioner(BLIPConfig.tiny(vocab_size=1000))
-    cap_tok = HashTokenizer(1000)
-    clip_tok = HashTokenizer(1000)
-    cap_batch = build_caption_batch(cap_tok, PROMPTS)
+    if real:
+        blip_cfg = dataclasses.replace(BLIPConfig.large(),
+                                       dtype=jnp.float32)
+    else:
+        blip_cfg = BLIPConfig.tiny(vocab_size=blip_vocab)
+    blip = BLIPCaptioner(blip_cfg)
+    cap_tok = HashTokenizer(blip_vocab)
+    clip_tok = HashTokenizer(clip_vocab)
+    cap_batch = build_caption_batch(cap_tok, prompts)
 
     blip_params = blip.init(
         jax.random.PRNGKey(SEED),
-        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, blip_image_size, blip_image_size, 3)),
         jnp.asarray(cap_batch["input_ids"][:1]),
         jnp.asarray(cap_batch["attention_mask"][:1]),
         jnp.asarray(cap_batch["labels"][:1]),
@@ -208,12 +314,14 @@ def run_fixture(record: bool = False,
     )
     unmapped += miss_b
 
-    disc = Discriminator(
-        UNetConfig.tiny(), GanConfig(lora_rank=0)
+    d_unet_cfg = (
+        dataclasses.replace(UNetConfig.sd15(), dtype=jnp.float32)
+        if real else UNetConfig.tiny()
     )
+    disc = Discriminator(d_unet_cfg, GanConfig(lora_rank=0))
     d_params = disc.init_params(
-        jax.random.PRNGKey(SEED + 1), latent_size=RESOLUTION // 8,
-        context_dim=32,
+        jax.random.PRNGKey(SEED + 1), latent_size=resolution // 8,
+        context_dim=d_unet_cfg.cross_attention_dim,
     )
     d_params["unet"], miss_d = convert_tree(
         d_params["unet"], sd_of(d_unet_t), _unet_hf_name
@@ -231,19 +339,19 @@ def run_fixture(record: bool = False,
 
     # ---- 3. shared inputs + replicated rng derivation ----
     tcfg = TrainConfig(
-        total_step=TOTAL_STEP, K=K, guidance_scale=CFG_SCALE,
-        resolution=RESOLUTION, gan_loss=True, gan_loss_weight=1.0,
-        attrcon=True, attrcon_train_steps=A,
+        total_step=total_step, K=Kv, guidance_scale=CFG_SCALE,
+        resolution=resolution, gan_loss=True, gan_loss_weight=1.0,
+        attrcon=True, attrcon_train_steps=Av,
         mask_token_loss_weight=1e-3, mask_pixel_loss_weight=5e-5,
     )
-    enc = clip_tok(PROMPTS, max_length=77)
-    null = clip_tok([""] * B, max_length=77)
+    enc = clip_tok(prompts, max_length=77)
+    null = clip_tok([""] * Bn, max_length=77)
     holder = SegmenterHolder(CenterPriorSegmenter(), max_words=4)
     attr_fields = attrcon_batch_fields(
-        PROMPTS, clip_tok, holder, 77, resolution=RESOLUTION
+        prompts, clip_tok, holder, 77, resolution=resolution
     )
     seg_masks = _aligned_masks(
-        np.asarray(attr_fields["word_valid"]), RESOLUTION
+        np.asarray(attr_fields["word_valid"]), resolution
     )
     batch = {
         "input_ids": jnp.asarray(enc["input_ids"]),
@@ -252,7 +360,7 @@ def run_fixture(record: bool = False,
         "caption_ids": jnp.asarray(cap_batch["input_ids"]),
         "caption_mask": jnp.asarray(cap_batch["attention_mask"]),
         "caption_labels": jnp.asarray(cap_batch["labels"]),
-        "gt_latents": jnp.zeros((B, RESOLUTION // 8, RESOLUTION // 8, 4)),
+        "gt_latents": jnp.zeros((Bn, resolution // 8, resolution // 8, 4)),
         **{k: jnp.asarray(v) for k, v in attr_fields.items()},
     }
     batch["seg_masks"] = jnp.asarray(seg_masks)
@@ -264,15 +372,15 @@ def run_fixture(record: bool = False,
     trained_idx = np.asarray(sample_trained_idx(rngs[0], tcfg))
     draws = np.asarray(sample_attrcon_draws(rng0, tcfg))
     rng_noise, lrng = jax.random.split(rngs[1])    # forward()'s split
-    h = RESOLUTION // 8
-    latents0 = np.asarray(jax.random.normal(lrng, (B, h, h, 4)))
+    h = resolution // 8
+    latents0 = np.asarray(jax.random.normal(lrng, (Bn, h, h, 4)))
     noise_table = np.stack([
         np.asarray(jax.random.normal(
-            jax.random.fold_in(rng_noise, i), (B, h, h, 4)
+            jax.random.fold_in(rng_noise, i), (Bn, h, h, 4)
         ))
-        for i in range(TOTAL_STEP)
+        for i in range(total_step)
     ])
-    offset_range = RESOLUTION // 224                # == 0 at 128
+    offset_range = resolution // 224        # 0 at 128px; 1 at 256px
     ox = int(jax.random.randint(rngs[2], (), 0, offset_range + 1))
     oy = int(jax.random.randint(rngs[3], (), 0, offset_range + 1))
 
@@ -318,14 +426,14 @@ def run_fixture(record: bool = False,
         token_idx=np.asarray(attr_fields["token_idx"]),
         token_valid=np.asarray(attr_fields["token_valid"]),
         word_valid=np.asarray(attr_fields["word_valid"]),
-        num_inference_steps=TOTAL_STEP,
+        num_inference_steps=total_step,
         guidance_scale=CFG_SCALE,
         vae_scaling=pcfg.vae.scaling_factor,
-        blip_image_size=64,
-        capture_layers=CAPTURE_LAYERS,
+        blip_image_size=blip_image_size,
+        capture_layers=capture_layers,
         mask_token_loss_weight=1e-3,
         mask_pixel_loss_weight=5e-5,
-        resolution=RESOLUTION,
+        resolution=resolution,
         differentiable=True,
     )
     twin["_loss"].backward()
@@ -391,13 +499,14 @@ def run_fixture(record: bool = False,
     }
 
     record_out = {
-        "fixture": "tiny_random_v1",
+        "fixture": G["fixture"],
         "seed": SEED,
         "config": {
-            "B": B, "resolution": RESOLUTION, "total_step": TOTAL_STEP,
-            "K": K, "attrcon_train_steps": A, "cfg_scale": CFG_SCALE,
+            "B": Bn, "resolution": resolution, "total_step": total_step,
+            "K": Kv, "attrcon_train_steps": Av, "cfg_scale": CFG_SCALE,
+            "lora_rank": lora_rank,
             "gan_loss_weight": 1.0, "mask_token_loss_weight": 1e-3,
-            "mask_pixel_loss_weight": 5e-5, "prompts": PROMPTS,
+            "mask_pixel_loss_weight": 5e-5, "prompts": prompts,
         },
         "torch_twin": twin,
         "jax": ours,
@@ -414,7 +523,7 @@ def run_fixture(record: bool = False,
         "grad_summary": grad_summary,
         "grad_deltas": grad_deltas,
     }
-    path = fixture_path or FIXTURE_PATH
+    path = fixture_path or G["fixture_path"]
     if record:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
@@ -425,8 +534,21 @@ def run_fixture(record: bool = False,
 if __name__ == "__main__":
     import sys
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    rec = run_fixture(record="--record" in sys.argv)
+    # FORCE cpu: this is a CPU parity check by design, and the session
+    # env pins JAX_PLATFORMS=axon (remote TPU) with a sitecustomize
+    # that re-applies it — a setdefault is not enough, and running the
+    # fixture through the TPU relay both serializes against real
+    # benchmarks and is ~10x slower (the relay admits one client).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    geom = "real" if "--real" in sys.argv else "tiny"
+    rec = run_fixture(record="--record" in sys.argv, geometry=geom)
     print(json.dumps(rec, indent=1))
     if "error" in rec:
         sys.exit(2)
