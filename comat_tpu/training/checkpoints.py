@@ -65,6 +65,20 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return dirs[-1][1] if dirs else None
 
 
+def _coord_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Coordination-service barrier (GRPC; independent of the device
+    collective backend). Best-effort: no-ops single-process or when no
+    distributed client exists."""
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+    except Exception:
+        pass
+
+
 def save_checkpoint(
     output_dir: str,
     step: int,
@@ -73,8 +87,15 @@ def save_checkpoint(
     rng=None,
     total_limit: Optional[int] = None,
 ) -> str:
+    """Save a checkpoint. Multi-process: MUST be called by EVERY
+    process — orbax's save contains global barriers (its internal
+    sync_global_processes('save_start')), so a process-0-only call
+    deadlocks/mismatches the other processes' next collective (caught
+    by tests/test_multiprocess_train.py). Host-side file ops
+    (pre-clean, metadata, pruning) run on process 0 only."""
     import orbax.checkpoint as ocp
 
+    primary = jax.process_index() == 0
     path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
     payload = {
         "trainable": flatten_tree(state.trainable),
@@ -84,20 +105,28 @@ def save_checkpoint(
         payload["d_trainable"] = flatten_tree(d_state.trainable)
         payload["d_opt_state"] = flatten_tree(d_state.opt_state)
     if rng is not None:
-        payload["rng"] = {"key": jax.random.key_data(rng)}
+        # host numpy, not a device array: the rng key is a host-local
+        # SingleDeviceSharding array that orbax refuses to serialize in
+        # multi-process settings (every process holds the same value —
+        # it derives from the seed + step alone)
+        payload["rng"] = {"key": np.asarray(jax.random.key_data(rng))}
 
     ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(os.path.join(path, "state")):
+    if primary and os.path.exists(os.path.join(path, "state")):
         shutil.rmtree(os.path.join(path, "state"))
+    if jax.process_count() > 1:
+        # the pre-clean must complete on the (possibly shared) FS
+        # before any process lets orbax touch the directory
+        _coord_barrier(f"ckpt_preclean_{step}")
     ckptr.save(os.path.join(path, "state"), payload)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, "metadata.json"), "w") as f:
-        json.dump({"step": int(step)}, f)
-
-    if total_limit:
-        dirs = _ckpt_dirs(output_dir)
-        for _, old in dirs[:-total_limit]:
-            shutil.rmtree(old, ignore_errors=True)
+    if primary:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump({"step": int(step)}, f)
+        if total_limit:
+            dirs = _ckpt_dirs(output_dir)
+            for _, old in dirs[:-total_limit]:
+                shutil.rmtree(old, ignore_errors=True)
     return path
 
 

@@ -398,6 +398,26 @@ class Trainer:
                 self.logger.info("resumed from %s (step %d)", path,
                                  self.global_step)
 
+        # Multi-process: align all processes BEFORE the first gloo/ICI
+        # collective. Host-side init skew (param init, resume IO, cold
+        # compile caches) routinely exceeds the collective backend's
+        # rendezvous window (~30s for CPU gloo context setup), and
+        # sync_global_devices itself rides that same collective path —
+        # so use the coordination-service barrier (GRPC, explicit long
+        # timeout) to make the first device_put's rendezvous land well
+        # inside the window.
+        if jax.process_count() > 1:
+            try:
+                from jax._src import distributed
+
+                client = distributed.global_state.client
+                if client is not None:
+                    client.wait_at_barrier(
+                        "comat_trainer_init", timeout_in_ms=600_000
+                    )
+            except Exception:
+                pass  # barrier is best-effort skew reduction
+
         # mesh placement (frozen towers are shared read-only between
         # G and D — same buffers, replicated once)
         self.state = replicate_tree(self.state, self.mesh)
@@ -854,21 +874,26 @@ class Trainer:
         training_script.py:382-494; save=False is the post-resume
         eval-only mode, :504-509)."""
         args = self.args
-        if save and jax.process_index() == 0:
+        if save:
+            # ALL processes call the (collective) orbax save; host-side
+            # artifacts are process-0-gated inside/below
             path = ckpt_lib.save_checkpoint(
                 args.output_dir, self.global_step, self.state,
                 self.d_state, self.rng,
                 total_limit=args.checkpoints_total_limit,
             )
-            ckpt_lib.export_lora_safetensors(
-                # the reference's exact artifact name, loadable by
-                # diffusers LoraLoaderMixin (training_script.py:397-401)
-                os.path.join(path, "pytorch_lora_weights.safetensors"),
-                jax.device_get(self.state.trainable),
-            )
-            self.logger.info("saved checkpoint %s", path)
+            if jax.process_index() == 0:
+                ckpt_lib.export_lora_safetensors(
+                    # the reference's exact artifact name, loadable by
+                    # diffusers LoraLoaderMixin
+                    # (training_script.py:397-401)
+                    os.path.join(path, "pytorch_lora_weights.safetensors"),
+                    jax.device_get(self.state.trainable),
+                )
+                self.logger.info("saved checkpoint %s", path)
         if (
-            (args.validation_prompts or args.validation_prompts_file)
+            jax.process_index() == 0
+            and (args.validation_prompts or args.validation_prompts_file)
             and args.num_validation_images > 0
         ):
             # reference gate: prompts given AND rounds > 0
