@@ -135,7 +135,8 @@ def random_params_bf16(init_fn, key):
 
 def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
           full_recipe: bool = False, pass1_int8: bool = False,
-          tiny: bool = False, remat_min_res=None):
+          tiny: bool = False, remat_min_res=None,
+          force_gc: bool = False):
     from comat_tpu.config import BLIPConfig
     from comat_tpu.models.blip import BLIPCaptioner
     from comat_tpu.models.pipeline import DiffusionPipeline, make_pipeline_config
@@ -198,7 +199,7 @@ def build(batch_size: int, resolution: int = 512, model: str = "sd_1_5",
         # recompute only res>=N blocks there. The SD1.5 full recipe
         # needs remat_min_res=64 (un-remat'd it exceeds 15.75GB by
         # ~0.3GB, r4 OOM log), which the headline ladder supplies.
-        gradient_checkpointing=(model != "sd_1_5"),
+        gradient_checkpointing=(model != "sd_1_5") or force_gc,
         remat_min_res=remat_min_res,
         gan_loss=full_recipe,
         attrcon=full_recipe,
@@ -902,15 +903,25 @@ def _section_gsam(batch_size, model, tiny, resolution):
     # BENCH_GSAM_REMAT=head (headline's level), then 32, then 1
     # (remat everything).
     mode = os.environ.get("BENCH_GSAM_REMAT", "head")
+    force_gc = False
     if mode == "head" or tiny:
         remat = _load_sections().get("headline", {}).get(
             "remat_used",
             None if (tiny or model != "sd_1_5") else _REMAT_LADDER[0],
         )
+    elif mode == "gc":
+        # the most memory-frugal (and most reference-faithful) plan:
+        # sd15.sh runs --gradient_checkpointing, which here means full
+        # block remat + UNFUSED pass-1 (no fused LoRA copy of the UNet
+        # in HBM) + chunked VAE decode. Needed because the replay step
+        # + resident GDINO/FastSAM weights OOM'd 16GB even at
+        # selective remat_min_res=1 (r5 sweep).
+        remat, force_gc = None, True
     else:
         remat = int(mode)
     built = build(batch_size, model=model, full_recipe=True, tiny=tiny,
-                  resolution=resolution, remat_min_res=remat)
+                  resolution=resolution, remat_min_res=remat,
+                  force_gc=force_gc)
     (pipe, _, step, state, frozen, blip_params, batch, tcfg,
      _, d_state, d_frozen) = built
     gsam, _, _ = gsam_recipe_seconds(
@@ -918,6 +929,8 @@ def _section_gsam(batch_size, model, tiny, resolution):
         d_state, d_frozen, tiny=tiny,
     )
     gsam["remat_min_res"] = remat
+    if force_gc:
+        gsam["remat"] = "full_block_gradient_checkpointing"
     return gsam
 
 
@@ -1508,6 +1521,7 @@ def main():
             attempts.append(("gsam", {"BENCH_GSAM_REMAT": "head"}))
             attempts.append(("gsam", {"BENCH_GSAM_REMAT": "32"}))
             attempts.append(("gsam", {"BENCH_GSAM_REMAT": "1"}))
+            attempts.append(("gsam", {"BENCH_GSAM_REMAT": "gc"}))
         elif name == "sdxl":
             # selective res-64-only remat first (less recompute than
             # the reference's full --gradient_checkpointing), full
