@@ -895,6 +895,15 @@ def _section_phases(batch_size, model, tiny, resolution):
 
 
 def _section_gsam(batch_size, model, tiny, resolution):
+    # The full gsam recipe (replay step + resident GroundingDINO +
+    # FastSAM towers + presample program) exceeds 16GB at bs 4 even
+    # under full --gradient_checkpointing (r5: RESOURCE_EXHAUSTED at
+    # first replay execution) — the reference runs it on 40-80GB
+    # A100s. BENCH_GSAM_BS measures at the per-chip batch that fits;
+    # the result carries its own batch_size and the assembled
+    # imgs/s/chip uses it (DP over 2 chips at bs 2 each reproduces
+    # the recipe's global batch 4).
+    batch_size = int(os.environ.get("BENCH_GSAM_BS", batch_size))
     # GDINO swint-ogc + FastSAM-x weights (+ their executables) stay
     # HBM-resident through the replay step — ~0.5GB on top of a
     # headline that fits with <0.3GB to spare, so the gsam step needs
@@ -929,6 +938,7 @@ def _section_gsam(batch_size, model, tiny, resolution):
         d_state, d_frozen, tiny=tiny,
     )
     gsam["remat_min_res"] = remat
+    gsam["batch_size"] = batch_size
     if force_gc:
         gsam["remat"] = "full_block_gradient_checkpointing"
     return gsam
@@ -1222,8 +1232,11 @@ def _assemble(sections: dict, batch_size: int, model: str):
                 "step_seconds_gsam_recipe": (
                     gsam["total"] if gsam else None
                 ),
+                # the gsam recipe may be measured at its own (smaller)
+                # per-chip batch — see _section_gsam / BENCH_GSAM_BS
                 "imgs_per_sec_gsam_recipe": (
-                    round(batch_size / gsam["total"], 4)
+                    round(gsam.get("batch_size", batch_size)
+                          / gsam["total"], 4)
                     if gsam else None
                 ),
                 "gsam_recipe_breakdown": gsam,
@@ -1522,6 +1535,8 @@ def main():
             attempts.append(("gsam", {"BENCH_GSAM_REMAT": "32"}))
             attempts.append(("gsam", {"BENCH_GSAM_REMAT": "1"}))
             attempts.append(("gsam", {"BENCH_GSAM_REMAT": "gc"}))
+            attempts.append(("gsam", {"BENCH_GSAM_REMAT": "gc",
+                                      "BENCH_GSAM_BS": "2"}))
         elif name == "sdxl":
             # selective res-64-only remat first (less recompute than
             # the reference's full --gradient_checkpointing), full
