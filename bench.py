@@ -988,6 +988,12 @@ def _section_sdxl(batch_size, model, tiny, resolution):
     full as the fallback — less recompute if it fits)."""
     from comat_tpu.training.train_step import merge_params
 
+    # The SDXL FULL recipe (UNet 5.1GB + bigG tower + cross-arch D +
+    # BLIP ~9.5GB of weights before activations) OOMs 16GB at bs 4
+    # even under full block remat (r5). BENCH_SDXL_BS measures at the
+    # per-chip batch that fits; the result carries its own batch_size
+    # (the reference's bs 6 targets 80GB A100s).
+    batch_size = int(os.environ.get("BENCH_SDXL_BS", batch_size))
     sel = os.environ.get("BENCH_SDXL_REMAT", "full")
     remat_x = 64 if (sel == "sel64" and not tiny) else None
     fullx = build(batch_size, model="sdxl", full_recipe=True, tiny=tiny,
@@ -1009,6 +1015,7 @@ def _section_sdxl(batch_size, model, tiny, resolution):
     return {
         "step_seconds_full_recipe": round(dt_x, 3),
         "imgs_per_sec": round(batch_size / dt_x, 4),
+        "batch_size": batch_size,
         "remat": "selective_min_res_64" if remat_x else "full_block",
         "ref_tflops_per_image": (
             round(f_img_x / 1e12, 2) if f_img_x else None
@@ -1543,6 +1550,8 @@ def main():
             # block remat as the fits-for-sure fallback
             attempts.append(("sdxl", {"BENCH_SDXL_REMAT": "sel64"}))
             attempts.append(("sdxl", {"BENCH_SDXL_REMAT": "full"}))
+            attempts.append(("sdxl", {"BENCH_SDXL_REMAT": "full",
+                                      "BENCH_SDXL_BS": "2"}))
         else:
             attempts.append((name, None))
     for name, env_over in attempts:
