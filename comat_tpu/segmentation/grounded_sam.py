@@ -122,6 +122,88 @@ class GroundedSAMSegmenter:
             spans,
         )
 
+    def batch(
+        self, images01: np.ndarray,
+        nouns_list: Sequence[Sequence[str]],
+    ) -> List[List[np.ndarray]]:
+        """Segment a whole batch with ONE GroundingDINO call + ONE
+        FastSAM call (vs two device round-trips per image). Through the
+        axon relay each device call costs seconds of transport (the r5
+        sweep measured 12.2s of per-step mask time at bs2, dominated by
+        round-trips, not the ~0.3 TF of arithmetic), so batching nearly
+        halves the per-step gsam mask cost. Images with no nouns yield
+        empty mask lists (matching __call__'s early return); results
+        are identical to per-image calls (test_grounded_sam.py)."""
+        from comat_tpu.segmentation.gdino import build_text_masks
+
+        B, H, W, _ = images01.shape
+        L = self.gdino_cfg.max_text_len
+        per = []
+        for b in range(B):
+            nouns = list(nouns_list[b]) if b < len(nouns_list) else []
+            if nouns:
+                ids, tmask, self_mask, pos_ids, spans = (
+                    self._tokenize_nouns(nouns)
+                )
+            else:
+                # placeholder row: no phrases -> no grounded boxes; the
+                # text mask keeps one live token so attention stays
+                # well-defined
+                ids = np.zeros((1, L), np.int32)
+                tmask = np.zeros((1, L), bool)
+                tmask[0, 0] = True
+                self_mask, pos_ids = build_text_masks(ids, [])
+                spans = []
+            per.append((nouns, ids, tmask, self_mask, pos_ids, spans))
+
+        imgs = jnp.asarray(images01, jnp.float32)
+        gimg = imgs
+        if self.gdino_resize and (H, W) != (self.gdino_resize,) * 2:
+            s = self.gdino_resize
+            gimg = jax.image.resize(gimg, (B, s, s, 3), method="bilinear")
+        mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+        std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+        gimg = (gimg - mean) / std
+        ids = np.concatenate([p[1] for p in per])
+        tmask = np.concatenate([p[2] for p in per])
+        self_mask = np.concatenate([p[3] for p in per])
+        pos_ids = np.concatenate([p[4] for p in per])
+        boxes, token_logits = self._gdino_apply(
+            self.gdino_params, gimg, jnp.asarray(ids),
+            jnp.asarray(tmask), jnp.asarray(self_mask),
+            jnp.asarray(pos_ids),
+        )
+        outs, protos = self._sam_apply(self.sam_params, imgs)
+        proposals_all = decode_predictions(outs, protos, self.sam_cfg)
+        boxes_np = np.asarray(boxes, np.float32)
+        logits_np = np.asarray(token_logits, np.float32)
+
+        result: List[List[np.ndarray]] = []
+        for b in range(B):
+            nouns, _, _, _, _, spans = per[b]
+            if not nouns:
+                result.append([])
+                continue
+            grounded = ground_nouns(
+                boxes_np[b], logits_np[b], spans,
+                self.box_threshold, self.text_threshold,
+            )
+            proposals = proposals_all[b]
+            masks: List[np.ndarray] = []
+            for ni in range(len(nouns)):
+                if ni not in grounded:
+                    masks.append(np.zeros((H, W), np.float32))
+                    continue
+                union = np.zeros((H, W), np.float32)
+                for box in grounded[ni]:
+                    xyxy = cxcywh_to_xyxy(box, W, H)
+                    union = np.maximum(
+                        union, box_prompt_masks(proposals, xyxy, (H, W))
+                    )
+                masks.append(union)
+            result.append(masks)
+        return result
+
     def __call__(self, image01: np.ndarray, nouns: Sequence[str]) -> List[np.ndarray]:
         H, W, _ = image01.shape
         if not nouns:

@@ -64,6 +64,19 @@ class SegmenterHolder:
         B, H, W, _ = images01.shape
         out = np.zeros((B, self.max_words, H, W), np.float32)
         nouns = self.nouns if self.nouns else [[] for _ in range(B)]
+        batch_fn = getattr(self.segmenter, "batch", None)
+        if batch_fn is not None and B > 1:
+            # one batched device invocation for the whole batch —
+            # through the axon relay, per-image calls cost seconds of
+            # transport each (grounded_sam.py batch docstring)
+            all_masks = batch_fn(
+                images01,
+                [nouns[b] if b < len(nouns) else [] for b in range(B)],
+            )
+            for b in range(B):
+                for w, m in enumerate(all_masks[b][: self.max_words]):
+                    out[b, w] = m
+            return out
         for b in range(min(B, len(nouns))):
             masks = self.segmenter(images01[b], nouns[b])
             for w, m in enumerate(masks[: self.max_words]):

@@ -60,6 +60,43 @@ def test_grounded_sam_protocol():
     assert seg(img, []) == []
 
 
+def test_grounded_sam_batch_matches_per_image():
+    """batch() (one GDINO + one FastSAM call for the whole batch — the
+    relay-transport optimization) must reproduce per-image __call__
+    results exactly, including empty-noun rows."""
+    seg = GroundedSAMSegmenter(
+        sam_cfg=YoloSegConfig.tiny(),
+        gdino_cfg=GDinoConfig.tiny(),
+        image_size=64,
+        box_threshold=0.0,
+        text_threshold=0.0,
+    )
+    rs = np.random.RandomState(1)
+    imgs = rs.rand(3, 64, 64, 3).astype(np.float32)
+    nouns = [["car", "bird"], [], ["cat"]]
+    got = seg.batch(imgs, nouns)
+    assert [len(m) for m in got] == [2, 0, 1]
+    for b in range(3):
+        want = seg(imgs[b], nouns[b])
+        assert len(got[b]) == len(want)
+        for m_g, m_w in zip(got[b], want):
+            np.testing.assert_allclose(m_g, m_w, atol=1e-5)
+
+    # the holder dispatches through batch() for B>1 with identical
+    # output layout to the per-image loop
+    from comat_tpu.segmentation.interface import SegmenterHolder
+
+    holder = SegmenterHolder(seg, max_words=4)
+    holder.nouns = nouns
+    out = holder.host_masks(imgs)
+    assert out.shape == (3, 4, 64, 64)
+    per_image = np.zeros_like(out)
+    for b in range(3):
+        for w, m in enumerate(seg(imgs[b], nouns[b])[:4]):
+            per_image[b, w] = m
+    np.testing.assert_allclose(out, per_image, atol=1e-5)
+
+
 def test_swin_non_multiple_size_padding():
     """Feature maps that are NOT window multiples must work (torch Swin
     zero-pads to window multiples and crops back — F.pad path). 64px at
